@@ -1,0 +1,285 @@
+"""Functional JAX op library (NHWC) for the cfg layer zoo.
+
+Pure-function equivalents of the reference's ``build_utils/layers.py`` +
+``models.py:create_modules`` module set: conv+BN+activation, depthwise-separable
+conv (layers.py:218-234), squeeze-excitation (layers.py:175-190), inception
+(layers.py:148-172), maxpool/avgpool/upsample, feature concat (layers.py:32-44)
+and (weighted) feature fusion (layers.py:47-85).
+
+Design: NHWC layout (TPU-native; XLA tiles channels-last convs straight onto the
+MXU), fp32 parameters with an optional bf16 compute dtype, BatchNorm carried as
+separate mutable state ``{mean, var}`` so the apply function stays pure. Numeric
+conventions (activation definitions, BN eps=1e-5, hard-sigmoid = relu6(x+3)/6)
+match torch so that weights imported from the reference reproduce its outputs.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1  # torch convention: new = (1-m)*old + m*batch
+
+
+# ----------------------------------------------------------------- activations
+
+def _mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def _hard_sigmoid(x):
+    return jnp.clip((x + 3.0) / 6.0, 0.0, 1.0)
+
+
+ACTIVATIONS = {
+    "linear": lambda x: x,
+    "leaky": lambda x: jnp.where(x >= 0, x, 0.1 * x),
+    "relu": jax.nn.relu,
+    "relu6": lambda x: jnp.clip(x, 0.0, 6.0),
+    "mish": _mish,
+    "hard-sigmoid": _hard_sigmoid,
+    "hard-swish": lambda x: x * _hard_sigmoid(x),
+}
+
+
+def activate(name: str, x):
+    return ACTIVATIONS[name](x)
+
+
+# ------------------------------------------------------------- initialization
+
+def _kaiming_uniform(key, shape, fan_in, dtype=jnp.float32):
+    # torch Conv2d default: kaiming_uniform_(a=sqrt(5)) => U(+-sqrt(1/fan_in))
+    bound = math.sqrt(1.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def init_conv(key, kernel: int, in_ch: int, out_ch: int, groups: int = 1,
+              bias: bool = False) -> dict:
+    """HWIO conv kernel (+optional bias), torch-default init."""
+    kw, kb = jax.random.split(key)
+    fan_in = (in_ch // groups) * kernel * kernel
+    p = {"w": _kaiming_uniform(kw, (kernel, kernel, in_ch // groups, out_ch),
+                               fan_in)}
+    if bias:
+        p["b"] = _kaiming_uniform(kb, (out_ch,), fan_in)
+    return p
+
+
+def init_bn(ch: int) -> tuple[dict, dict]:
+    params = {"scale": jnp.ones((ch,)), "bias": jnp.zeros((ch,))}
+    state = {"mean": jnp.zeros((ch,)), "var": jnp.ones((ch,))}
+    return params, state
+
+
+# ------------------------------------------------------------------- conv ops
+
+def conv2d(x, w, stride=(1, 1), pad: int = 0, groups: int = 1):
+    """NHWC x HWIO grouped conv; accumulates in fp32 on the MXU."""
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=stride,
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def batch_norm(x, params, state, train: bool, axis_name: str | None = None):
+    """BatchNorm2d. In train mode returns (y, new_state) with batch statistics
+    optionally synchronized across ``axis_name`` (cross-replica mean via psum —
+    the TPU-mesh replacement for the reference's per-GPU BN)."""
+    if train:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        mean2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+            mean2 = jax.lax.pmean(mean2, axis_name)
+        var = mean2 - jnp.square(mean)
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        if axis_name is not None:
+            n = n * jax.lax.psum(1, axis_name)
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = jax.lax.rsqrt(var + BN_EPS) * params["scale"]
+    y = (x.astype(jnp.float32) - mean) * inv + params["bias"]
+    return y.astype(x.dtype), new_state
+
+
+def conv_bn_act(x, params, state, *, stride=(1, 1), pad=0, groups=1,
+                act="linear", bn=True, train=False, axis_name=None):
+    y = conv2d(x, params["w"], stride=stride, pad=pad, groups=groups)
+    if bn:
+        y, state = batch_norm(y, params["bn"], state, train, axis_name)
+    else:
+        y = y + params["b"].astype(y.dtype)
+    return activate(act, y.astype(x.dtype)), state
+
+
+# ----------------------------------------------------- composite cfg layer ops
+
+def depthwise_separable(x, params, state, *, stride=(1, 1), train=False,
+                        axis_name=None):
+    """3x3 depthwise + BN + ReLU6, then 1x1 pointwise + BN + ReLU6
+    (reference layers.py:218-234)."""
+    in_ch = x.shape[-1]
+    y = conv2d(x, params["dw"]["w"], stride=stride, pad=1, groups=in_ch)
+    y, s_dw = batch_norm(y, params["dw"]["bn"], state["dw"], train, axis_name)
+    y = activate("relu6", y)
+    y = conv2d(y, params["pw"]["w"], stride=(1, 1), pad=0)
+    y, s_pw = batch_norm(y, params["pw"]["bn"], state["pw"], train, axis_name)
+    y = activate("relu6", y)
+    return y.astype(x.dtype), {"dw": s_dw, "pw": s_pw}
+
+
+def squeeze_excitation(x, params):
+    """Channel attention: GAP -> 1x1 -> relu -> 1x1 -> hard-sigmoid -> scale
+    (reference layers.py:175-190). The pooled path is tiny — XLA fuses it; the
+    two 1x1 convs on a 1x1 map are plain (1,C)x(C,S) matmuls."""
+    pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))            # (B, C)
+    s = pooled @ params["fc1"]["w"].reshape(x.shape[-1], -1) + params["fc1"]["b"]
+    s = jax.nn.relu(s)
+    s = s @ params["fc2"]["w"].reshape(s.shape[-1], -1) + params["fc2"]["b"]
+    s = _hard_sigmoid(s)
+    return (x * s[:, None, None, :].astype(x.dtype))
+
+
+def max_pool(x, kernel: int, stride=(1, 1), pad: int = 0):
+    """torch MaxPool2d semantics: symmetric padding with -inf."""
+    neg = (jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating)
+           else jnp.iinfo(x.dtype).min)
+    return jax.lax.reduce_window(
+        x, neg, jax.lax.max,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, stride[0], stride[1], 1),
+        padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    )
+
+
+def adaptive_avg_pool(x, out_size: int):
+    """AdaptiveAvgPool2d(output_size=k); exact for k==1 or evenly dividing maps."""
+    b, h, w, c = x.shape
+    if out_size == 1:
+        return jnp.mean(x, axis=(1, 2), keepdims=True)
+    if h % out_size == 0 and w % out_size == 0:
+        x = x.reshape(b, out_size, h // out_size, out_size, w // out_size, c)
+        return x.mean(axis=(2, 4))
+    raise NotImplementedError(
+        f"adaptive avgpool to {out_size} from {h}x{w} not supported")
+
+
+def upsample_nearest(x, scale: int):
+    return jnp.repeat(jnp.repeat(x, scale, axis=1), scale, axis=2)
+
+
+def inception(x, params, state, *, train=False, axis_name=None):
+    """4-branch GoogLeNet block, all branch convs BN+leaky (reference
+    layers.py:148-172 with ConvBnActivation defaults)."""
+    def cba(name, inp, pad=0):
+        return conv_bn_act(inp, params[name], state[name], stride=(1, 1),
+                           pad=pad, act="leaky", bn=True, train=train,
+                           axis_name=axis_name)
+
+    new_state = {}
+    b1, new_state["b1_1"] = conv_bn_act(
+        x, params["b1_1"], state["b1_1"], act="leaky", train=train,
+        axis_name=axis_name)
+    y, new_state["b2_1"] = cba("b2_1", x)
+    b2, new_state["b2_2"] = conv_bn_act(
+        y, params["b2_2"], state["b2_2"], pad=1, act="leaky", train=train,
+        axis_name=axis_name)
+    y, new_state["b3_1"] = cba("b3_1", x)
+    y, new_state["b3_2"] = conv_bn_act(
+        y, params["b3_2"], state["b3_2"], pad=1, act="leaky", train=train,
+        axis_name=axis_name)
+    b3, new_state["b3_3"] = conv_bn_act(
+        y, params["b3_3"], state["b3_3"], pad=1, act="leaky", train=train,
+        axis_name=axis_name)
+    y = max_pool(x, 3, (1, 1), 1)
+    b4, new_state["b4_1"] = cba("b4_1", y)
+    return jnp.concatenate([b1, b2, b3, b4], axis=-1), new_state
+
+
+def weighted_fusion(x, extras: list, w=None):
+    """Element-wise add of ``x`` with earlier outputs; optional learned sigmoid
+    weights and the channel-slice rule for mismatched widths (reference
+    layers.py:63-85)."""
+    n = len(extras) + 1
+    if w is not None:
+        ws = jax.nn.sigmoid(w.astype(jnp.float32)) * (2.0 / n)
+        x = x * ws[0].astype(x.dtype)
+    nx = x.shape[-1]
+    for i, a in enumerate(extras):
+        if w is not None:
+            a = a * ws[i + 1].astype(a.dtype)
+        na = a.shape[-1]
+        if nx == na:
+            x = x + a
+        elif nx > na:
+            x = jnp.concatenate([x[..., :na] + a, x[..., na:]], axis=-1)
+        else:
+            x = x + a[..., :nx]
+    return x
+
+
+def dropout(x, p: float, rng):
+    keep = 1.0 - p
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+# ------------------------------------------------------------ per-node params
+
+def init_node_params(key, node) -> tuple[dict | None, dict | None]:
+    """Create (params, bn_state) for one IR node; None when parameter-free."""
+    kind = node.kind
+    if kind == "conv":
+        p = init_conv(key, node.kernel, node.in_ch, node.out_ch,
+                      groups=node.groups, bias=not node.bn)
+        s = None
+        if node.bn:
+            p["bn"], s = init_bn(node.out_ch)
+        return p, s
+    if kind == "dwconv":
+        k1, k2 = jax.random.split(key)
+        dw = init_conv(k1, node.kernel, node.in_ch, node.in_ch,
+                       groups=node.in_ch)
+        pw = init_conv(k2, 1, node.in_ch, node.out_ch)
+        dw["bn"], s_dw = init_bn(node.in_ch)
+        pw["bn"], s_pw = init_bn(node.out_ch)
+        return {"dw": dw, "pw": pw}, {"dw": s_dw, "pw": s_pw}
+    if kind == "se":
+        k1, k2 = jax.random.split(key)
+        return {"fc1": init_conv(k1, 1, node.in_ch, node.squeeze_ch, bias=True),
+                "fc2": init_conv(k2, 1, node.squeeze_ch, node.in_ch, bias=True)
+                }, None
+    if kind == "inception":
+        icp, c = node.icp, node.in_ch
+        specs = {"b1_1": (1, c, icp["n1x1"]),
+                 "b2_1": (1, c, icp["n3x3_reduce"]),
+                 "b2_2": (3, icp["n3x3_reduce"], icp["n3x3"]),
+                 "b3_1": (1, c, icp["n5x5_reduce"]),
+                 "b3_2": (3, icp["n5x5_reduce"], icp["n5x5"]),
+                 "b3_3": (3, icp["n5x5"], icp["n5x5"]),
+                 "b4_1": (1, c, icp["pool_proj"])}
+        keys = jax.random.split(key, len(specs))
+        params, state = {}, {}
+        for kk, (name, (ksz, ci, co)) in zip(keys, specs.items()):
+            params[name] = init_conv(kk, ksz, ci, co)
+            params[name]["bn"], state[name] = init_bn(co)
+        return params, state
+    if kind == "shortcut" and node.weighted:
+        return {"w": jnp.zeros((len(node.inputs) + 1,))}, None
+    return None, None
