@@ -25,6 +25,20 @@ import numpy as np
 BN_EPS = 1e-5
 BN_MOMENTUM = 0.1  # torch convention: new = (1-m)*old + m*batch
 
+# Global MXU/conv precision. JAX's default ("fastest") runs fp32 convs as
+# single-pass bf16 on the MXU — right for throughput, ~1e-3 relative error.
+# Parity tests and fp32 reference runs set HIGHEST via set_precision().
+_PRECISION = None
+
+
+def set_precision(p):
+    """Set conv/matmul precision globally (None | 'high' | 'highest' |
+    jax.lax.Precision). Returns the previous value."""
+    global _PRECISION
+    prev = _PRECISION
+    _PRECISION = p
+    return prev
+
 
 # ----------------------------------------------------------------- activations
 
@@ -86,6 +100,7 @@ def conv2d(x, w, stride=(1, 1), pad: int = 0, groups: int = 1):
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
+        precision=_PRECISION,
         preferred_element_type=jnp.float32,
     )
 
@@ -97,11 +112,13 @@ def batch_norm(x, params, state, train: bool, axis_name: str | None = None):
     if train:
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(0, 1, 2))
-        mean2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
         if axis_name is not None:
             mean = jax.lax.pmean(mean, axis_name)
-            mean2 = jax.lax.pmean(mean2, axis_name)
-        var = mean2 - jnp.square(mean)
+        # two-pass variance: E[(x-mean)^2] avoids the E[x^2]-E[x]^2
+        # cancellation that compounds across deep BN stacks
+        var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
+        if axis_name is not None:
+            var = jax.lax.pmean(var, axis_name)
         n = x.shape[0] * x.shape[1] * x.shape[2]
         if axis_name is not None:
             n = n * jax.lax.psum(1, axis_name)

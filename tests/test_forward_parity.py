@@ -1,0 +1,129 @@
+"""Numerical forward parity vs the PyTorch reference.
+
+Builds reference models with their own random init, imports the state_dict via
+models/import_weights.py, and checks that our jitted NHWC forward reproduces
+the torch NCHW forward: eval-mode decoded boxes, train-mode raw head outputs
+(exercising batch-stat BN), and the BN-folded fast inference path."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from double_yolo_kaist_tpu.config.ir import compile_cfg
+from double_yolo_kaist_tpu.models import graph
+from double_yolo_kaist_tpu.models.import_weights import from_torch_state_dict
+
+from tests.torch_ref import load_reference_yolo
+
+CFG_DIR = "/root/reference/config"
+
+# exact fp32 convs for numerical parity (JAX default is single-pass bf16)
+from double_yolo_kaist_tpu.models import layers as _L  # noqa: E402
+_L.set_precision("highest")
+
+# coverage: v3 decode / dual-stream Add-SL (weighted shortcut) / v4 decode with
+# dwconv+SE+hard-swish / inception+SE fusion
+CASES = [
+    "kaist_yolov3.cfg",
+    "kaist_dyolov3_add_sl.cfg",
+    "kaist_dyolov4_mobilenetv3_fshare_global_cse3.cfg",
+    "kaist_dyolov3_concat_seinc.cfg",
+]
+
+
+@pytest.fixture(scope="module", params=CASES)
+def pair(request):
+    name = request.param
+    path = os.path.join(CFG_DIR, name)
+    YOLO = load_reference_yolo()
+    torch.manual_seed(0)
+    tm = YOLO(path, img_size=(64, 64), verbose=False)
+    ir = compile_cfg(path)
+    variables = from_torch_state_dict(ir, tm.state_dict())
+    return name, tm, ir, variables
+
+
+def _rand_inputs(bs=1, hw=64, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.random((bs, 3, hw, hw), dtype=np.float32)
+    l = rng.random((bs, 3, hw, hw), dtype=np.float32)
+    return v, l
+
+
+def _rel_err(a, b):
+    denom = np.maximum(np.abs(b).max(), 1e-6)
+    return np.abs(a - b).max() / denom
+
+
+def test_eval_decoded_parity(pair):
+    name, tm, ir, variables = pair
+    v, l = _rand_inputs()
+    tm.eval()
+    with torch.no_grad():
+        if ir.dual_stream:
+            t_io, t_raw = tm(torch.from_numpy(v), torch.from_numpy(l))
+        else:
+            t_io, t_raw = tm(torch.from_numpy(v))
+
+    xv = jnp.asarray(v.transpose(0, 2, 3, 1))
+    xl = jnp.asarray(l.transpose(0, 2, 3, 1)) if ir.dual_stream else None
+    (io, raws), _ = graph.apply(ir, variables, xv, xl, train=False)
+
+    assert _rel_err(np.asarray(io), t_io.numpy()) < 2e-3, name
+    for mine, ref in zip(raws, t_raw):
+        assert _rel_err(np.asarray(mine), ref.numpy()) < 2e-3, name
+
+
+def test_train_raw_parity(pair):
+    """Train mode exercises batch-statistics BN on both sides."""
+    name, tm, ir, variables = pair
+    v, l = _rand_inputs(bs=2)
+    tm.train()
+    with torch.no_grad():
+        if ir.dual_stream:
+            t_raw = tm(torch.from_numpy(v), torch.from_numpy(l))
+        else:
+            t_raw = tm(torch.from_numpy(v))
+
+    xv = jnp.asarray(v.transpose(0, 2, 3, 1))
+    xl = jnp.asarray(l.transpose(0, 2, 3, 1)) if ir.dual_stream else None
+    raws, new_state = graph.apply(ir, variables, xv, xl, train=True)
+    # train-mode BN divides by batch statistics at every layer; tiny fp
+    # differences amplify through 70-100 BN stacks (ill-conditioned at this
+    # test's 64x64 input), so train parity is checked loosely — eval parity
+    # above is the tight gate
+    for mine, ref in zip(raws, t_raw):
+        assert _rel_err(np.asarray(mine), ref.numpy()) < 5e-2, name
+
+    # running stats updated with torch momentum convention
+    any_key = next(iter(new_state))
+    leaf = new_state[any_key]
+    sub = leaf["dw"]["mean"] if "dw" in leaf else leaf["mean"]
+    assert np.abs(np.asarray(sub)).sum() > 0
+
+
+def test_folded_inference_parity(pair):
+    name, tm, ir, variables = pair
+    v, l = _rand_inputs()
+    tm.eval()
+    with torch.no_grad():
+        if ir.dual_stream:
+            t_io, _ = tm(torch.from_numpy(v), torch.from_numpy(l))
+        else:
+            t_io, _ = tm(torch.from_numpy(v))
+
+    folded = graph.fold_batchnorm(ir, variables)
+    xv = jnp.asarray(v.transpose(0, 2, 3, 1))
+    xl = jnp.asarray(l.transpose(0, 2, 3, 1)) if ir.dual_stream else None
+    io, _ = graph.apply_folded(ir, folded, xv, xl)
+    assert _rel_err(np.asarray(io), t_io.numpy()) < 5e-3, name
+
+
+def test_param_count_matches_torch(pair):
+    name, tm, ir, variables = pair
+    t_count = sum(p.numel() for p in tm.parameters())
+    assert graph.count_params(variables) == t_count
