@@ -1,0 +1,103 @@
+"""The jitted training / evaluation step over a device mesh.
+
+One XLA program per (batch-shape, image-size) pair: forward (bf16 compute,
+fp32 params), fixed-shape loss, backward, optimizer update, optional EMA.
+Batches are sharded over the mesh's "data" axis and parameters replicated;
+because the loss is a global-batch mean under ``jax.jit`` with those
+shardings, XLA inserts the cross-device gradient all-reduce (ICI psum) and
+global BN statistics automatically — this replaces the reference's (dormant)
+DDP/NCCL path and its gradient-accumulation workaround (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import graph
+from . import loss as LS
+from . import optim as OPT
+
+
+class TrainState(NamedTuple):
+    params: Any
+    bn_state: Any
+    opt_state: Any
+    step: jnp.ndarray
+    ema: Optional[dict] = None
+
+
+def create_train_state(ir, rng, tx, ema: bool = False,
+                       variables: Optional[dict] = None) -> TrainState:
+    if variables is None:
+        variables = graph.init(ir, rng)
+    params, bn_state = variables["params"], variables["state"]
+    return TrainState(
+        params=params,
+        bn_state=bn_state,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        ema=OPT.ema_init(params) if ema else None,
+    )
+
+
+def make_train_step(ir, hyp: dict, tx, *, gr: float = 1.0,
+                    compute_dtype=jnp.bfloat16, ema_decay: float = 0.9999,
+                    donate: bool = True):
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    batch: {"v": (B,H,W,3), "l": (B,H,W,3) [dual only], "targets": (B,T,5),
+    "tmask": (B,T)} — images uint8 or float in [0,1]."""
+    specs = LS.head_specs(ir)
+
+    def step_fn(state: TrainState, batch: dict, rng):
+        xv = _to_float(batch["v"])
+        xl = _to_float(batch["l"]) if "l" in batch else None
+
+        def loss_fn(params):
+            raws, new_bn = graph.apply(
+                ir, {"params": params, "state": state.bn_state}, xv, xl,
+                train=True, rng=rng, compute_dtype=compute_dtype)
+            ld = LS.compute_loss(raws, batch["targets"], batch["tmask"],
+                                 specs, hyp, gr)
+            return LS.total_loss(ld), (ld, new_bn)
+
+        (total, (ld, new_bn)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema
+        if ema is not None:
+            ema = OPT.ema_update(ema, params, ema_decay)
+        metrics = {**ld, "loss": total,
+                   "grad_norm": optax.global_norm(grads)}
+        return TrainState(params, new_bn, opt_state, state.step + 1, ema), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(ir, *, compute_dtype=jnp.bfloat16, folded: bool = False):
+    """Jitted inference step -> decoded predictions (bs, total, no) fp32."""
+    if folded:
+        def fwd(variables, xv, xl=None):
+            io, _ = graph.apply_folded(ir, variables, _to_float(xv),
+                                       None if xl is None else _to_float(xl),
+                                       compute_dtype=compute_dtype)
+            return io.astype(jnp.float32)
+    else:
+        def fwd(variables, xv, xl=None):
+            (io, _), _ = graph.apply(ir, variables, _to_float(xv),
+                                     None if xl is None else _to_float(xl),
+                                     train=False, compute_dtype=compute_dtype)
+            return io.astype(jnp.float32)
+    return jax.jit(fwd)
+
+
+def _to_float(x):
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x
