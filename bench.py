@@ -1,0 +1,96 @@
+"""Benchmark: dual-stream 640x512 frames/sec/chip on the flagship model.
+
+Methodology mirrors the reference's FPS measurement (evaluate.py:70-74,
+122-123: forward + head decode, no NMS, wall clock) but batched — the
+reference reports bs=1 GPU latency; the production metric here is per-chip
+throughput (BASELINE.md north star: >= 2000 fps/chip on v5e).
+
+Pipeline under test: BN-folded bf16 NHWC forward + grid decode on
+Double-YOLOv4-Fshare-Global-CSE3 (reference README.md:132, 29.04 FPS on a
+Quadro RTX 6000). Prints one JSON line.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from double_yolo_kaist_tpu.config.ir import compile_cfg
+from double_yolo_kaist_tpu.models import graph
+from double_yolo_kaist_tpu.models.zoo import FLAGSHIP, cfg_path, reference_fps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=FLAGSHIP)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    args = ap.parse_args()
+
+    ir = compile_cfg(cfg_path(args.model))
+    # init + BN-fold as single jitted programs: the axon tunnel dispatches
+    # op-by-op with high latency, and params must travel as *arguments* (a
+    # closure would embed 100M+ fp32 constants into the serialized HLO)
+    t = time.perf_counter()
+    variables = jax.jit(lambda k: graph.init(ir, k))(jax.random.PRNGKey(0))
+    folded = jax.jit(lambda v: graph.fold_batchnorm(ir, v))(variables)
+    folded = jax.tree.map(lambda a: a.astype(jnp.bfloat16), folded)
+    jax.block_until_ready(folded)
+    print(f"# init+fold {time.perf_counter() - t:.1f}s", file=sys.stderr, flush=True)
+
+    # N forwards inside one jitted fori_loop, returning a scalar: through the
+    # axon tunnel block_until_ready is a no-op and per-call dispatch costs
+    # ~100ms, so honest timing = one device-side loop + one scalar fetch.
+    # The carry feeds back into the input so XLA cannot hoist the body.
+    def loop(params, xv, xl, n):
+        def body(_, acc):
+            io, _raw = graph.apply_folded(
+                ir, params, xv + acc.astype(xv.dtype) * 0.0, xl,
+                compute_dtype=jnp.bfloat16)
+            return jnp.sum(io[..., 4], dtype=jnp.float32)
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+    loop_j = jax.jit(loop, static_argnums=(3,))
+
+    rng = np.random.default_rng(0)
+    shape = (args.batch, args.height, args.width, 3)
+    xv = jnp.asarray(rng.random(shape, dtype=np.float32), jnp.bfloat16)
+    xl = jnp.asarray(rng.random(shape, dtype=np.float32), jnp.bfloat16)
+
+    t = time.perf_counter()
+    # compile + warm up both loop lengths (distinct static n -> two programs)
+    np.asarray(loop_j(folded, xv, xl, 1))
+    np.asarray(loop_j(folded, xv, xl, 1 + args.iters))
+    print(f"# compile+warmup {time.perf_counter() - t:.1f}s",
+          file=sys.stderr, flush=True)
+
+    t0 = time.perf_counter()
+    base = float(np.asarray(loop_j(folded, xv, xl, 1)))
+    t1 = time.perf_counter()
+    full = float(np.asarray(loop_j(folded, xv, xl, 1 + args.iters)))
+    t2 = time.perf_counter()
+    assert np.isfinite(full) and np.isfinite(base)
+    # subtract the 1-iteration run to cancel dispatch/fetch overhead
+    dt = (t2 - t1) - (t1 - t0)
+
+    fps = args.batch * args.iters / dt
+    ref = reference_fps(args.model)
+    print(json.dumps({
+        "metric": f"dual-stream {args.width}x{args.height} frames/sec/chip "
+                  f"({args.model})",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / ref, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

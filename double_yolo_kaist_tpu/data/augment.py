@@ -1,0 +1,410 @@
+"""Batched, jittable, RNG-keyed image augmentation — the on-device input
+pipeline.
+
+The reference runs its entire augmentation stack per-sample on the host with
+OpenCV inside DataLoader worker processes (SURVEY.md §3.4; reference
+kaist_dataset.py:321-388, img_utils.py:5-53, snowflake.py:7-93). On TPU the
+host is the bottleneck (this box has one CPU core), so every transform here is
+a pure batched jnp function over uint8/float NHWC tensors, keyed by
+``jax.random`` — the host only decodes JPEGs.
+
+Geometric semantics follow the reference so labels stay aligned:
+  * letterbox: aspect-preserving resize + symmetric pad (img_utils.py:5-53);
+  * mosaic-4 ("quadra"): 4 image pairs around a random center in a 2s x 2s
+    canvas (kaist_dataset.py:213-286);
+  * random affine: rotate/scale/translate/shear via inverse-warp bilinear
+    sampling, with the reference's degenerate-box filter
+    (kaist_dataset.py:408-479);
+  * HSV jitter with shared gains across both modalities
+    (kaist_dataset.py:482-506);
+  * snowflake cutout + label drop by cover-IoU (snowflake.py:54-93);
+  * CLAHE (4x4 tiles, clip 1.0) in clahe.py;
+  * 50% horizontal flip (kaist_dataset.py:362-369).
+
+All label tensors are fixed-shape (B, T, 5) [cls, cx, cy, w, h] + mask; boxes
+are carried in absolute xyxy pixels through the geometric ops and only
+converted to normalized xywh at the end (matching the reference's ordering).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+# -------------------------------------------------------------- resize / pad
+
+def resize_bilinear(img, out_h: int, out_w: int):
+    """cv2.INTER_LINEAR-compatible bilinear resize (half-pixel centers).
+    img: (..., H, W, C) float or uint8 -> float32."""
+    x = img.astype(jnp.float32)
+    h, w = x.shape[-3], x.shape[-2]
+    sy, sx = h / out_h, w / out_w
+    yc = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * sy - 0.5
+    xc = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * sx - 0.5
+    y0 = jnp.clip(jnp.floor(yc), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xc), 0, w - 1)
+    wy = jnp.clip(yc - y0, 0.0, 1.0)
+    wx = jnp.clip(xc - x0, 0.0, 1.0)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+
+    top = (x[..., y0i, :, :][..., :, x0i, :] * (1 - wx)[:, None]
+           + x[..., y0i, :, :][..., :, x1i, :] * wx[:, None])
+    bot = (x[..., y1i, :, :][..., :, x0i, :] * (1 - wx)[:, None]
+           + x[..., y1i, :, :][..., :, x1i, :] * wx[:, None])
+    return top * (1 - wy)[:, None, None] + bot * wy[:, None, None]
+
+
+def letterbox_params(src_hw, dst_hw, scale_up: bool = True):
+    """Static letterbox math (python floats; shapes are static under jit).
+    Returns (ratio, (dw, dh), (new_w, new_h)) as in reference img_utils.py."""
+    r = min(dst_hw[0] / src_hw[0], dst_hw[1] / src_hw[1])
+    if not scale_up:
+        r = min(r, 1.0)
+    new_w, new_h = int(round(src_hw[1] * r)), int(round(src_hw[0] * r))
+    dw, dh = (dst_hw[1] - new_w) / 2, (dst_hw[0] - new_h) / 2
+    return r, (dw, dh), (new_w, new_h)
+
+
+def letterbox_batch(imgs, dst_hw, scale_up: bool = True, pad_value: float = 0.0):
+    """Batched letterbox: (B, H, W, C) -> (B, dst_h, dst_w, C) float32.
+    Returns (imgs, ratio, (dw, dh))."""
+    src_hw = imgs.shape[1:3]
+    r, (dw, dh), (new_w, new_h) = letterbox_params(src_hw, dst_hw, scale_up)
+    if (new_h, new_w) != tuple(src_hw):
+        x = resize_bilinear(imgs, new_h, new_w)
+    else:
+        x = imgs.astype(jnp.float32)
+    top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
+    bottom = dst_hw[0] - new_h - top
+    right = dst_hw[1] - new_w - left
+    x = jnp.pad(x, ((0, 0), (top, bottom), (left, right), (0, 0)),
+                constant_values=pad_value)
+    return x, r, (dw, dh)
+
+
+def letterbox_labels(labels, src_hw, ratio, pad):
+    """Normalized xywh labels -> absolute xyxy in the letterboxed frame
+    (reference kaist_dataset.py:298-306)."""
+    h, w = src_hw
+    cx, cy = labels[..., 1] * w * ratio, labels[..., 2] * h * ratio
+    bw, bh = labels[..., 3] * w * ratio, labels[..., 4] * h * ratio
+    return jnp.stack([labels[..., 0],
+                      cx - bw / 2 + pad[0], cy - bh / 2 + pad[1],
+                      cx + bw / 2 + pad[0], cy + bh / 2 + pad[1]], axis=-1)
+
+
+# ------------------------------------------------------------- affine warp
+
+def _affine_matrices(key, batch: int, src_hw, degrees, translate, scale,
+                     shear, border: int):
+    """Per-image forward affine M = S @ T @ R (reference
+    kaist_dataset.py:427-444). Returns (M (B,3,3), s (B,))."""
+    h, w = src_hw
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    a = jax.random.uniform(k1, (batch,), minval=-degrees, maxval=degrees)
+    s = jax.random.uniform(k2, (batch,), minval=1 - scale, maxval=1 + scale)
+    tx = jax.random.uniform(k3, (batch,), minval=-translate,
+                            maxval=translate) * h + border
+    ty = jax.random.uniform(k4, (batch,), minval=-translate,
+                            maxval=translate) * w + border
+    sh = jax.random.uniform(k5, (batch, 2), minval=-shear, maxval=shear)
+
+    rad = a * math.pi / 180.0
+    cos, sin = jnp.cos(rad) * s, jnp.sin(rad) * s
+    cx, cy = w / 2.0, h / 2.0
+    # cv2.getRotationMatrix2D(center, angle, scale): rotation about center
+    r00, r01 = cos, sin
+    r10, r11 = -sin, cos
+    r02 = (1 - cos) * cx - sin * cy
+    r12 = sin * cx + (1 - cos) * cy
+    zeros = jnp.zeros_like(cos)
+    ones = jnp.ones_like(cos)
+    R = jnp.stack([jnp.stack([r00, r01, r02], -1),
+                   jnp.stack([r10, r11, r12], -1),
+                   jnp.stack([zeros, zeros, ones], -1)], -2)
+    T = jnp.stack([jnp.stack([ones, zeros, tx], -1),
+                   jnp.stack([zeros, ones, ty], -1),
+                   jnp.stack([zeros, zeros, ones], -1)], -2)
+    t0 = jnp.tan(sh[:, 0] * math.pi / 180.0)
+    t1 = jnp.tan(sh[:, 1] * math.pi / 180.0)
+    S = jnp.stack([jnp.stack([ones, t0, zeros], -1),
+                   jnp.stack([t1, ones, zeros], -1),
+                   jnp.stack([zeros, zeros, ones], -1)], -2)
+    return S @ T @ R, s
+
+
+def _warp_bilinear(img, minv, out_h: int, out_w: int):
+    """Inverse-warp one image with bilinear sampling, zero border
+    (cv2.warpAffine INTER_LINEAR semantics)."""
+    x = img.astype(jnp.float32)
+    h, w = x.shape[0], x.shape[1]
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)               # (out_h, out_w)
+    src_x = minv[0, 0] * gx + minv[0, 1] * gy + minv[0, 2]
+    src_y = minv[1, 0] * gx + minv[1, 1] * gy + minv[1, 2]
+
+    x0 = jnp.floor(src_x)
+    y0 = jnp.floor(src_y)
+    wx = src_x - x0
+    wy = src_y - y0
+
+    def gather(yi, xi):
+        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        return jnp.where(inb[..., None], x[yc, xc], 0.0)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    top = v00 * (1 - wx)[..., None] + v01 * wx[..., None]
+    bot = v10 * (1 - wx)[..., None] + v11 * wx[..., None]
+    return top * (1 - wy)[..., None] + bot * wy[..., None]
+
+
+def random_affine_batch(key, v_imgs, l_imgs, labels, lmask, *,
+                        degrees=0.0, translate=0.0, scale=0.0, shear=0.0,
+                        border: int = 0):
+    """Batched random affine of both modalities + label transform.
+
+    labels: (B, T, 5) [cls, x1, y1, x2, y2] absolute in the source frame.
+    Output frame is (H + 2*border, W + 2*border) (border < 0 shrinks, as the
+    mosaic path uses border = -s//2). Returns (v, l, labels, mask)."""
+    B, H, W = v_imgs.shape[0], v_imgs.shape[1], v_imgs.shape[2]
+    out_h, out_w = H + border * 2, W + border * 2
+    M, s = _affine_matrices(key, B, (H, W), degrees, translate, scale, shear,
+                            border)
+    Minv = jnp.linalg.inv(M)
+    warp = jax.vmap(partial(_warp_bilinear, out_h=out_h, out_w=out_w))
+    v_out = warp(v_imgs, Minv)
+    l_out = warp(l_imgs, Minv)
+
+    # transform the 4 corners of every box (reference kaist_dataset.py:452-462)
+    x1, y1 = labels[..., 1], labels[..., 2]
+    x2, y2 = labels[..., 3], labels[..., 4]
+    corners = jnp.stack([
+        jnp.stack([x1, y1], -1), jnp.stack([x2, y2], -1),
+        jnp.stack([x1, y2], -1), jnp.stack([x2, y1], -1)], axis=-2)  # (B,T,4,2)
+    ones = jnp.ones(corners.shape[:-1] + (1,))
+    pts = jnp.concatenate([corners, ones], -1)                        # (B,T,4,3)
+    warped = jnp.einsum("btki,bji->btkj", pts, M)[..., :2]
+    nx1 = jnp.clip(warped[..., 0].min(-1), 0, out_w)
+    ny1 = jnp.clip(warped[..., 1].min(-1), 0, out_h)
+    nx2 = jnp.clip(warped[..., 0].max(-1), 0, out_w)
+    ny2 = jnp.clip(warped[..., 1].max(-1), 0, out_h)
+
+    bw, bh = nx2 - nx1, ny2 - ny1
+    area_new = bw * bh
+    area_old = (x2 - x1) * (y2 - y1)
+    ar = jnp.maximum(bw / (bh + 1e-16), bh / (bw + 1e-16))
+    keep = ((bw > 4) & (bh > 4)
+            & (area_new / (area_old * s[:, None] + 1e-16) > 0.2) & (ar < 10))
+    new_labels = jnp.stack([labels[..., 0], nx1, ny1, nx2, ny2], -1)
+    return v_out, l_out, new_labels, lmask & keep
+
+
+# -------------------------------------------------------------- mosaic-4
+
+def mosaic4(key, v_imgs, l_imgs, labels, lmask, img_size: int):
+    """Mosaic ("quadra") batch transform: group each image with 3 random
+    partners around a random center in a (2s, 2s) canvas
+    (reference kaist_dataset.py:213-286). Inputs are the already size-s
+    squares produced by load_image+resize; labels (B, T, 5) absolute xyxy in
+    the s x s frame. Output: (B, 2s, 2s, C) canvases + (B, 4T, 5) labels."""
+    B, s = v_imgs.shape[0], img_size
+    k_center, k_partner = jax.random.split(key)
+    centers = jax.random.randint(k_center, (B, 2), int(s * 0.5),
+                                 int(s * 1.5) + 1)
+    partners = jax.random.randint(k_partner, (B, 3), 0, B)
+    idx = jnp.concatenate([jnp.arange(B)[:, None], partners], axis=1)  # (B,4)
+
+    def place_one(vi, li, lab, lm, center):
+        xr, yr = center[0], center[1]
+        canvas_v = jnp.zeros((2 * s, 2 * s, vi.shape[-1]), vi.dtype)
+        canvas_l = jnp.zeros_like(canvas_v)
+        out_lab, out_m = [], []
+        h = w = s
+        for i in range(4):
+            # quadrant corners (reference kaist_dataset.py:239-249)
+            if i == 0:
+                x1a, y1a = jnp.maximum(xr - w, 0), jnp.maximum(yr - h, 0)
+                x2a, y2a = xr, yr
+            elif i == 1:
+                x1a, y1a = xr, jnp.maximum(yr - h, 0)
+                x2a, y2a = jnp.minimum(xr + w, 2 * s), yr
+            elif i == 2:
+                x1a, y1a = jnp.maximum(xr - w, 0), yr
+                x2a, y2a = xr, jnp.minimum(2 * s, yr + h)
+            else:
+                x1a, y1a = xr, yr
+                x2a, y2a = jnp.minimum(xr + w, 2 * s), jnp.minimum(2 * s, yr + h)
+            # source offsets: pad = dst_corner - src_corner
+            # (reference kaist_dataset.py:239-254 x1b/y1b per quadrant)
+            if i == 0:
+                padw, padh = x1a - (w - (x2a - x1a)), y1a - (h - (y2a - y1a))
+            elif i == 1:
+                padw, padh = x1a - 0, y1a - (h - (y2a - y1a))
+            elif i == 2:
+                padw, padh = x1a - (w - (x2a - x1a)), y1a - 0
+            else:
+                padw, padh = x1a - 0, y1a - 0
+
+            # paste via dynamic masking (fixed shapes): canvas coords grid
+            yy = jnp.arange(2 * s)[:, None]
+            xx = jnp.arange(2 * s)[None, :]
+            inside = ((yy >= y1a) & (yy < y2a) & (xx >= x1a) & (xx < x2a))
+            src_y = jnp.clip(yy - padh, 0, h - 1)
+            src_x = jnp.clip(xx - padw, 0, w - 1)
+            v_src = vi[i][src_y, src_x]
+            l_src = li[i][src_y, src_x]
+            canvas_v = jnp.where(inside[..., None], v_src, canvas_v)
+            canvas_l = jnp.where(inside[..., None], l_src, canvas_l)
+
+            lab_i = lab[i]
+            shifted = jnp.stack([
+                lab_i[:, 0],
+                jnp.clip(lab_i[:, 1] + padw, 0, 2 * s),
+                jnp.clip(lab_i[:, 2] + padh, 0, 2 * s),
+                jnp.clip(lab_i[:, 3] + padw, 0, 2 * s),
+                jnp.clip(lab_i[:, 4] + padh, 0, 2 * s)], -1)
+            out_lab.append(shifted)
+            out_m.append(lm[i])
+        return canvas_v, canvas_l, jnp.concatenate(out_lab, 0), \
+            jnp.concatenate(out_m, 0)
+
+    v4 = v_imgs[idx]          # (B, 4, s, s, C)
+    l4 = l_imgs[idx]
+    lab4 = labels[idx]        # (B, 4, T, 5)
+    lm4 = lmask[idx]
+    return jax.vmap(place_one)(v4, l4, lab4, lm4, centers)
+
+
+# ------------------------------------------------------------ photometric
+
+def hsv_jitter(key, v_imgs, l_imgs, h_gain, s_gain, v_gain):
+    """Random HSV gains, same gains for both modalities per image
+    (reference kaist_dataset.py:482-506, float math instead of uint8 LUTs).
+    imgs: float32 RGB in [0, 255]."""
+    B = v_imgs.shape[0]
+    r = (jax.random.uniform(key, (B, 3), minval=-1.0, maxval=1.0)
+         * jnp.asarray([h_gain, s_gain, v_gain]) + 1.0)
+
+    def adjust(img, g):
+        hsv = _rgb_to_hsv(img / 255.0)
+        h = (hsv[..., 0] * g[0]) % 1.0
+        s = jnp.clip(hsv[..., 1] * g[1], 0.0, 1.0)
+        v = jnp.clip(hsv[..., 2] * g[2], 0.0, 1.0)
+        return _hsv_to_rgb(jnp.stack([h, s, v], -1)) * 255.0
+
+    return (jax.vmap(adjust)(v_imgs, r), jax.vmap(adjust)(l_imgs, r))
+
+
+def _rgb_to_hsv(rgb):
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    d = mx - mn + 1e-12
+    h = jnp.where(mx == r, ((g - b) / d) % 6.0,
+                  jnp.where(mx == g, (b - r) / d + 2.0, (r - g) / d + 4.0))
+    h = h / 6.0
+    s = jnp.where(mx > 0, d / (mx + 1e-12), 0.0)
+    return jnp.stack([h, s, mx], -1)
+
+
+def _hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0] * 6.0, hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h)
+    f = h - i
+    p = v * (1 - s)
+    q = v * (1 - s * f)
+    t = v * (1 - s * (1 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], -1)
+
+
+def flip_lr(key, v_imgs, l_imgs, labels_xywh_norm):
+    """50% horizontal flip of both modalities + x-center mirror
+    (reference kaist_dataset.py:362-369). labels normalized xywh."""
+    B = v_imgs.shape[0]
+    do = jax.random.bernoulli(key, 0.5, (B,))
+    v = jnp.where(do[:, None, None, None], v_imgs[:, :, ::-1], v_imgs)
+    l = jnp.where(do[:, None, None, None], l_imgs[:, :, ::-1], l_imgs)
+    x = jnp.where(do[:, None], 1.0 - labels_xywh_norm[..., 1],
+                  labels_xywh_norm[..., 1])
+    labels = labels_xywh_norm.at[..., 1].set(x)
+    return v, l, labels
+
+
+# ---------------------------------------------------------------- cutout
+
+def snowflake_cutout(key, v_imgs, l_imgs, labels_xyxy, lmask, *,
+                     n_thr: int = 6, step: int = 16, n_snow: int = 25,
+                     label_thr: float = 0.35):
+    """Zero out ``n_snow`` random step x step squares in BOTH modalities and
+    drop labels whose cover-IoU vs the cut boxes exceeds ``label_thr``
+    (reference snowflake.py:54-93; applied only when an image has <= n_thr
+    boxes). labels absolute xyxy."""
+    B, H, W = v_imgs.shape[0], v_imgs.shape[1], v_imgs.shape[2]
+    # NB: the reference swaps w/h when sampling boxes (snowflake.py:73 uses
+    # np.shape(img)[:2] as (w, h)); we sample in the true frame.
+    xy = jax.random.uniform(key, (B, n_snow, 2)) * jnp.asarray(
+        [W - 1, H - 1], jnp.float32)
+    xy = jnp.floor(xy)
+    x2 = jnp.clip(xy[..., 0] + step - 1, 0, W - 1)
+    y2 = jnp.clip(xy[..., 1] + step - 1, 0, H - 1)
+    cut = jnp.stack([xy[..., 0], xy[..., 1], x2, y2], -1)      # (B, N, 4)
+
+    active = (lmask.sum(-1) <= n_thr)                           # (B,)
+
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+
+    def cut_mask(c):  # (N, 4) -> (H, W) True where any cut covers
+        inside = ((yy[None] >= c[:, None, None, 1])
+                  & (yy[None] <= c[:, None, None, 3])
+                  & (xx[None] >= c[:, None, None, 0])
+                  & (xx[None] <= c[:, None, None, 2]))
+        return inside.any(0)
+
+    masks = jax.vmap(cut_mask)(cut) & active[:, None, None]     # (B, H, W)
+    v = jnp.where(masks[..., None], 0.0, v_imgs)
+    l = jnp.where(masks[..., None], 0.0, l_imgs)
+
+    # cover-IoU of each label vs all cut boxes (reference snowflake.py:28-43)
+    lb = labels_xyxy[..., 1:5]                                   # (B, T, 4)
+    ix1 = jnp.maximum(lb[..., None, 0], cut[:, None, :, 0])
+    iy1 = jnp.maximum(lb[..., None, 1], cut[:, None, :, 1])
+    ix2 = jnp.minimum(lb[..., None, 2], cut[:, None, :, 2])
+    iy2 = jnp.minimum(lb[..., None, 3], cut[:, None, :, 3])
+    inter = jnp.clip(ix2 - ix1, 0) * jnp.clip(iy2 - iy1, 0)
+    area = jnp.maximum((lb[..., 2] - lb[..., 0])
+                       * (lb[..., 3] - lb[..., 1]), 1.0)
+    cover = inter.sum(-1) / area                                 # (B, T)
+    keep = jnp.where(active[:, None], cover < label_thr, True)
+    return v, l, lmask & keep
+
+
+# ----------------------------------------------------------- label formats
+
+def xyxy_to_norm_xywh(labels_xyxy, lmask, frame_hw):
+    """Absolute xyxy -> normalized xywh (reference kaist_dataset.py:351-358);
+    masked rows zeroed."""
+    h, w = frame_hw
+    x1, y1 = labels_xyxy[..., 1], labels_xyxy[..., 2]
+    x2, y2 = labels_xyxy[..., 3], labels_xyxy[..., 4]
+    out = jnp.stack([labels_xyxy[..., 0],
+                     (x1 + x2) / 2 / w, (y1 + y2) / 2 / h,
+                     (x2 - x1) / w, (y2 - y1) / h], -1)
+    return jnp.where(lmask[..., None], out, 0.0)
