@@ -232,7 +232,7 @@ def mosaic4(key, v_imgs, l_imgs, labels, lmask, img_size: int):
         canvas_v = jnp.zeros((2 * s, 2 * s, vi.shape[-1]), vi.dtype)
         canvas_l = jnp.zeros_like(canvas_v)
         out_lab, out_m = [], []
-        h = w = s
+        h, w = vi.shape[1], vi.shape[2]  # source tiles may be rectangular
         for i in range(4):
             # quadrant corners (reference kaist_dataset.py:239-249)
             if i == 0:

@@ -1,0 +1,167 @@
+"""Host->device input pipelines: the reference's per-sample OpenCV
+__getitem__ (kaist_dataset.py:321-388) re-staged as one jitted batched device
+program per epoch step.
+
+Train path (mosaic "quadra", reference order preserved):
+  decode (host) -> resize to max-side=s -> mosaic-4 canvas (2s x 2s)
+  -> [CLAHE + snowflake cutout] -> random affine (border=-s//2 -> s x s)
+  -> HSV jitter -> xyxy->normalized xywh -> 50% flip -> float [0,1]
+
+Eval path (rect batches): resize max-side=s -> letterbox pad to the batch
+shape -> float [0,1]; letterbox params are returned for scale_coords undo.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import augment as A
+from .clahe import clahe_batch
+from ..train.loss import pad_labels
+
+
+def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
+                          snowflake: bool = False, clahe: bool = False,
+                          max_targets_per_img: int = 16):
+    """Build the jitted train-time augmentation program.
+
+    src_hw: native image size (KAIST: (512, 640)); static.
+    Returns fn(key, v_u8, l_u8, labels, lmask) -> batch dict for the train
+    step, where labels are (B, T, 5) normalized xywh and the output targets
+    are (B, 4T, 5) (mosaic multiplies label capacity by 4).
+    """
+    s = img_size
+    r = s / max(src_hw)
+    h1, w1 = int(src_hw[0] * r), int(src_hw[1] * r)
+
+    @jax.jit
+    def fn(key, v_u8, l_u8, labels, lmask):
+        k_mosaic, k_cut, k_affine, k_hsv, k_flip = jax.random.split(key, 5)
+        v = A.resize_bilinear(v_u8, h1, w1)
+        l = A.resize_bilinear(l_u8, h1, w1)
+
+        # normalized xywh -> absolute xyxy in the resized frame
+        # (reference load_quadra_images, kaist_dataset.py:258-264)
+        cx, cy = labels[..., 1] * w1, labels[..., 2] * h1
+        bw, bh = labels[..., 3] * w1, labels[..., 4] * h1
+        lab = jnp.stack([labels[..., 0], cx - bw / 2, cy - bh / 2,
+                         cx + bw / 2, cy + bh / 2], -1)
+
+        v4, l4, lab4, m4 = A.mosaic4(k_mosaic, v, l, lab, lmask, s)
+
+        if snowflake:
+            v4 = clahe_batch(jnp.clip(jnp.round(v4), 0, 255)
+                             .astype(jnp.uint8)).astype(jnp.float32)
+            l4 = clahe_batch(jnp.clip(jnp.round(l4), 0, 255)
+                             .astype(jnp.uint8)).astype(jnp.float32)
+            # quadra-path cutout settings (reference kaist_dataset.py:276)
+            v4, l4, m4 = A.snowflake_cutout(k_cut, v4, l4, lab4, m4,
+                                            n_thr=24, step=32, n_snow=80)
+
+        v4, l4, lab4, m4 = A.random_affine_batch(
+            k_affine, v4, l4, lab4, m4,
+            degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.0),
+            scale=hyp.get("scale", 0.0), shear=hyp.get("shear", 0.0),
+            border=-s // 2)
+
+        v4, l4 = A.hsv_jitter(k_hsv, v4, l4, hyp.get("hsv_h", 0.0),
+                              hyp.get("hsv_s", 0.0), hyp.get("hsv_v", 0.0))
+
+        targets = A.xyxy_to_norm_xywh(lab4, m4, (s, s))
+        v4, l4, targets = A.flip_lr(k_flip, v4, l4, targets)
+        targets = jnp.where(m4[..., None], targets, 0.0)
+        return {"v": v4 / 255.0, "l": l4 / 255.0,
+                "targets": targets, "tmask": m4}
+
+    return fn
+
+
+def make_eval_preprocess_fn(src_hw, dst_hw, img_size: int,
+                            clahe: bool = False):
+    """Jitted eval preprocessing with the reference's exact two stages:
+    (1) load_image max-side resize to img_size with int() truncation
+    (kaist_dataset.py:203-208), then (2) letterbox pad to dst_hw with
+    scale_up=False (img_utils.py:5-53). Returns (fn, ratio, pad) matching the
+    reference's ``shapes`` tuple for scale_coords undo."""
+    h0, w0 = src_hw
+    r1 = img_size / max(h0, w0)
+    h1, w1 = (int(h0 * r1), int(w0 * r1)) if r1 != 1 else (h0, w0)
+
+    r2 = min(dst_hw[0] / h1, dst_hw[1] / w1, 1.0)   # scale_up=False at eval
+    new_h, new_w = int(round(h1 * r2)), int(round(w1 * r2))
+    dw, dh = (dst_hw[1] - new_w) / 2, (dst_hw[0] - new_h) / 2
+    top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
+    bottom, right = dst_hw[0] - new_h - top, dst_hw[1] - new_w - left
+
+    @jax.jit
+    def fn(v_u8, l_u8):
+        v = A.resize_bilinear(v_u8, h1, w1)
+        l = A.resize_bilinear(l_u8, h1, w1)
+        if clahe:
+            v = clahe_batch(jnp.clip(jnp.round(v), 0, 255)
+                            .astype(jnp.uint8)).astype(jnp.float32)
+            l = clahe_batch(jnp.clip(jnp.round(l), 0, 255)
+                            .astype(jnp.uint8)).astype(jnp.float32)
+        if (new_h, new_w) != (h1, w1):
+            v = A.resize_bilinear(v, new_h, new_w)
+            l = A.resize_bilinear(l, new_h, new_w)
+        pad_widths = ((0, 0), (top, bottom), (left, right), (0, 0))
+        v = jnp.pad(v, pad_widths)
+        l = jnp.pad(l, pad_widths)
+        return v / 255.0, l / 255.0
+
+    # reference shapes tuple: ((h0, w0), ((h1/h0, w1/w0), (dw, dh)))
+    return fn, (h1 / h0, w1 / w0), (dw, dh)
+
+
+# ------------------------------------------------------------------ iterators
+
+def train_batches(dataset, batch_size: int, key, *, img_size: int,
+                  hyp: dict, snowflake: bool = False,
+                  max_targets_per_img: int = 16, shuffle: bool = True,
+                  drop_last: bool = True, seed_epoch: int = 0):
+    """Yield jitted-augmented device batches for one epoch."""
+    n = len(dataset)
+    src_hw = tuple(int(x) for x in dataset.shapes[0][::-1])
+    aug = make_train_augment_fn(src_hw, img_size, hyp, snowflake=snowflake,
+                                max_targets_per_img=max_targets_per_img)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed_epoch).shuffle(order)
+    stop = n - (n % batch_size) if drop_last else n
+    for b0 in range(0, stop, batch_size):
+        idx = order[b0:b0 + batch_size]
+        if len(idx) < batch_size and drop_last:
+            break
+        vs, ls = zip(*(dataset.load_pair(i) for i in idx))
+        labels = [dataset.labels[i] for i in idx]
+        t, m = pad_labels(labels, max_targets_per_img)
+        sub = jax.random.fold_in(key, b0)
+        yield aug(sub, jnp.asarray(np.stack(vs)), jnp.asarray(np.stack(ls)),
+                  jnp.asarray(t), jnp.asarray(m)), idx
+
+
+def eval_batches(dataset, batch_size: int):
+    """Yield (v, l, indices, ratio_pad) rect-letterboxed device batches."""
+    n = len(dataset)
+    fns = {}
+    for b0 in range(0, n, batch_size):
+        idx = np.arange(b0, min(b0 + batch_size, n))
+        src_hw = tuple(int(x) for x in dataset.shapes[idx[0]][::-1])
+        if dataset.rect:
+            dst = tuple(dataset.batch_shapes[dataset.batch_index[idx[0]]])
+        else:
+            dst = (dataset.img_size, dataset.img_size)
+        sig = (src_hw, dst, len(idx))
+        if sig not in fns:
+            fns[sig] = make_eval_preprocess_fn(src_hw, dst, dataset.img_size,
+                                               clahe=dataset.clahe)
+        fn, r, pad = fns[sig]
+        vs, ls = zip(*(dataset.load_pair(i) for i in idx))
+        v, l = fn(jnp.asarray(np.stack(vs)), jnp.asarray(np.stack(ls)))
+        yield v, l, idx, (r, pad)

@@ -1,0 +1,128 @@
+"""Dataset reader + device input pipeline on a synthetic on-disk mini-KAIST
+(reference directory conventions: *_visible/_lwir pairs, images->labels txt,
+.shapes sidecar, rect batch grouping)."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from double_yolo_kaist_tpu.config.ir import compile_cfg
+from double_yolo_kaist_tpu.data.dataset import KaistDataset
+from double_yolo_kaist_tpu.data.pipeline import (eval_batches,
+                                                 make_eval_preprocess_fn,
+                                                 train_batches)
+from double_yolo_kaist_tpu.train import optim as OPT
+from double_yolo_kaist_tpu.train.step import create_train_state, make_train_step
+
+W0, H0 = 160, 128   # mini native size (KAIST is 640x512; same 1.25 aspect)
+
+HYP = {"box": 3.54, "obj": 64.3, "cls": 37.4, "cls_pw": 1.0, "obj_pw": 1.0,
+       "iou_t": 0.2, "fl_gamma": 0.0, "ciou": 1.0, "momentum": 0.9,
+       "weight_decay": 0.0, "hsv_h": 0.0138, "hsv_s": 0.678, "hsv_v": 0.36,
+       "degrees": 0.0, "translate": 0.0, "scale": 0.0, "shear": 0.0}
+
+
+@pytest.fixture(scope="module")
+def mini_kaist(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kaist")
+    img_dir = root / "images" / "set00"
+    lab_dir = root / "labels" / "set00"
+    img_dir.mkdir(parents=True)
+    lab_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    logical = []
+    for i in range(8):
+        v = rng.integers(0, 256, (H0, W0, 3), dtype=np.uint8)
+        l = rng.integers(0, 256, (H0, W0, 3), dtype=np.uint8)
+        stem = f"I{i:05d}"
+        cv2.imwrite(str(img_dir / f"{stem}_visible.jpg"), v)
+        cv2.imwrite(str(img_dir / f"{stem}_lwir.jpg"), l)
+        with open(lab_dir / f"{stem}.txt", "w") as f:
+            f.write("0 0.5 0.5 0.25 0.4\n0 0.25 0.3 0.1 0.2\n")
+        logical.append(str(img_dir / f"{stem}.jpg"))
+    split = root / "train.txt"
+    split.write_text("\n".join(logical) + "\n")
+    return str(split)
+
+
+def test_dataset_loads(mini_kaist):
+    ds = KaistDataset(mini_kaist, img_size=64, batch_size=4)
+    assert len(ds) == 8
+    assert ds.shapes.shape == (8, 2)
+    assert (ds.shapes == [W0, H0]).all()
+    v, l = ds.load_pair(0)
+    assert v.shape == (H0, W0, 3) and l.shape == (H0, W0, 3)
+    assert all(lab.shape == (2, 5) for lab in ds.labels)
+    gt = ds.coco_ground_truth()
+    assert gt[0].shape == (2, 4)
+    np.testing.assert_allclose(gt[0][0], [60, 38.4, 100, 89.6], atol=1e-4)
+
+
+def test_rect_batch_shapes(mini_kaist):
+    ds = KaistDataset(mini_kaist, img_size=64, batch_size=4, rect=True)
+    # aspect 128/160 = 0.8 -> batch shape ceil(0.8*64/32)*32 x 64
+    assert ds.batch_shapes.shape == (2, 2)
+    assert (ds.batch_shapes[:, 1] == 64).all()
+    assert (ds.batch_shapes[:, 0] == 64).all()  # ceil(51.2/32)*32 = 64
+
+
+def test_train_batches_shapes(mini_kaist):
+    ds = KaistDataset(mini_kaist, img_size=64, batch_size=4, augment=True,
+                      hyp=HYP)
+    key = jax.random.PRNGKey(0)
+    batches = list(train_batches(ds, 4, key, img_size=64, hyp=HYP,
+                                 max_targets_per_img=8))
+    assert len(batches) == 2
+    batch, idx = batches[0]
+    assert batch["v"].shape == (4, 64, 64, 3)
+    assert batch["l"].shape == (4, 64, 64, 3)
+    assert batch["targets"].shape == (4, 32, 5)   # 4x mosaic multiplier
+    assert batch["tmask"].shape == (4, 32)
+    v = np.asarray(batch["v"])
+    assert np.isfinite(v).all() and v.min() >= 0 and v.max() <= 1.0
+    t = np.asarray(batch["targets"])
+    m = np.asarray(batch["tmask"])
+    assert m.any()
+    assert (t[m][:, 1:] >= 0).all() and (t[m][:, 1:] <= 1).all()
+
+
+def test_eval_batches_letterbox(mini_kaist):
+    ds = KaistDataset(mini_kaist, img_size=64, batch_size=4, rect=True)
+    out = list(eval_batches(ds, 4))
+    assert len(out) == 2
+    v, l, idx, (ratio, pad) = out[0]
+    assert v.shape == (4, 64, 64, 3)
+    # 128x160 -> resize (51, 64) -> pad to 64: dh = 6.5
+    assert abs(ratio[0] - 51 / 128) < 1e-9
+    assert abs(pad[1] - 6.5) < 1e-9
+    v = np.asarray(v)
+    assert (v[:, :6] == 0).all() and (v[:, -6:] == 0).all()  # top/bottom pad
+    assert v[:, 7:57].max() > 0.1
+
+
+def test_end_to_end_train(mini_kaist, tmp_path):
+    """3 real optimizer steps through the full pipeline on the tiny model."""
+    ds = KaistDataset(mini_kaist, img_size=64, batch_size=4, augment=True,
+                      hyp=HYP)
+    ir = compile_cfg(os.path.join(os.path.dirname(__file__), "fixtures",
+                                  "tiny_dyolov3.cfg"), yolo_strides=[8, 4])
+    sched = OPT.cosine_epoch_schedule(1e-3, 0.1, 5, 2, warmup=False)
+    tx = OPT.make_optimizer(HYP, sched, sgd=True)
+    state = create_train_state(ir, jax.random.PRNGKey(0), tx)
+    step = make_train_step(ir, HYP, tx, compute_dtype=jnp.float32)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for epoch in range(2):
+        for batch, idx in train_batches(ds, 4, jax.random.fold_in(key, epoch),
+                                        img_size=64, hyp=HYP,
+                                        max_targets_per_img=8,
+                                        seed_epoch=epoch):
+            state, metrics = step(state, batch, jax.random.fold_in(key, epoch))
+            losses.append(float(metrics["loss"]))
+    assert len(losses) == 4
+    assert np.isfinite(losses).all()
