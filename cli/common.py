@@ -1,0 +1,41 @@
+"""Shared CLI plumbing: model/weights resolution."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+from double_yolo_kaist_tpu.config.ir import compile_cfg  # noqa: E402
+from double_yolo_kaist_tpu.models import graph  # noqa: E402
+from double_yolo_kaist_tpu.models import import_weights as IW  # noqa: E402
+
+
+def build_model(cfg: str, weights: str = "", seed: int = 0):
+    """cfg path (or zoo name) + weights (ours dir / .pt / .weights / '')
+    -> (ir, variables)."""
+    if not os.path.exists(cfg):
+        from double_yolo_kaist_tpu.models.zoo import cfg_path
+        cfg = cfg_path(cfg)
+    ir = compile_cfg(cfg)
+    variables = graph.init(ir, jax.random.PRNGKey(seed))
+    if weights:
+        if os.path.isdir(weights):
+            from double_yolo_kaist_tpu.utils.checkpoint import load_checkpoint
+            loaded = load_checkpoint(
+                weights, {"params": variables["params"],
+                          "bn_state": variables["state"]})
+            variables = {"params": loaded["params"],
+                         "state": loaded["bn_state"]}
+        elif weights.endswith((".pt", ".pth")):
+            variables = IW.merge_variables(
+                variables, IW.from_torch_checkpoint(ir, weights))
+        elif weights.endswith(".weights"):
+            variables = IW.merge_variables(
+                variables, IW.from_darknet_weights(ir, weights))
+        else:
+            raise ValueError(f"unrecognized weights format: {weights}")
+    return ir, variables

@@ -1,0 +1,61 @@
+"""Offline evaluation CLI — reference evaluate.py:126-145 surface: COCO
+stats + VOC-AP@0.5 + LAMR + FPS on the test / day_test / night_test splits,
+optional .npy curve dump."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from cli.common import build_model  # noqa: E402
+from double_yolo_kaist_tpu.config.parser import load_hyp, parse_data_cfg  # noqa: E402
+from double_yolo_kaist_tpu.data.dataset import KaistDataset  # noqa: E402
+from double_yolo_kaist_tpu.eval.coco_map import summarize  # noqa: E402
+from double_yolo_kaist_tpu.eval.evaluator import evaluate_dataset  # noqa: E402
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", type=str, default="data/kaist_data.data")
+    p.add_argument("--test-type", type=str, default="test",
+                   choices=["test", "day_test", "night_test", "valid"])
+    p.add_argument("--hyp", type=str, default="config/hyp.scratch.4.yaml")
+    p.add_argument("--img-size", type=int, default=512)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--cfg", type=str, required=True)
+    p.add_argument("--weights", type=str, required=True)
+    p.add_argument("--npy-path", type=str, default="")
+    p.add_argument("--conf-thres", type=float, default=0.01)
+    p.add_argument("--iou-thres", type=float, default=0.6)
+    p.add_argument("--fp32", action="store_true")
+    opt = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    data_dict = parse_data_cfg(opt.data)
+    ds = KaistDataset(data_dict[opt.test_type], opt.img_size, opt.batch_size,
+                      hyp=load_hyp(opt.hyp) if os.path.exists(opt.hyp) else {},
+                      rect=True)
+    ir, variables = build_model(opt.cfg, opt.weights)
+    res = evaluate_dataset(
+        ir, variables, ds, batch_size=opt.batch_size,
+        conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
+        compute_dtype=jnp.float32 if opt.fp32 else jnp.bfloat16,
+        progress=True)
+
+    print(summarize(res["coco_stats"]))
+    print(f"VOC Average Precision (VOC-AP)@[IoU = 0.5] = {res['ap'] * 100:.2f}%")
+    print(f"Log Average Miss Rate (LAMR)@[IoU = 0.5] = {res['lamr'] * 100:.2f}%")
+    print(f"average detecting fps: {res['fps']:.2f}")
+    if opt.npy_path:
+        np.save(opt.npy_path, {**res["curves"], "ap": res["ap"],
+                               "lamr": res["lamr"]})
+
+
+if __name__ == "__main__":
+    main()

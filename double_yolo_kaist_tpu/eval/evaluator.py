@@ -1,0 +1,107 @@
+"""Offline evaluation driver: COCO 12-stat summary + VOC-AP@0.5 + LAMR + FPS
+over a KAIST split (re-architecture of reference evaluate.py:31-123 and the
+in-train eval kaist_train_eval_utils.py:121-190).
+
+Device side: jitted forward + decode + fixed-shape NMS (no per-image Python).
+Host side: letterbox undo, metric accumulation (numpy).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.pipeline import eval_batches
+from ..models import graph
+from ..ops import nms as NMS
+from .coco_map import evaluate_coco
+from .metrics import compute_ap_lamr
+
+
+def _undo_letterbox(boxes: np.ndarray, ratio, pad, orig_hw):
+    """scale_coords on host numpy (reference utils.py:60-84)."""
+    gain = ratio[0]
+    out = boxes.copy()
+    out[:, [0, 2]] -= pad[0]
+    out[:, [1, 3]] -= pad[1]
+    out /= gain
+    out[:, [0, 2]] = out[:, [0, 2]].clip(0, orig_hw[1])
+    out[:, [1, 3]] = out[:, [1, 3]].clip(0, orig_hw[0])
+    return out
+
+
+def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
+                     conf_thres: float = 0.01, iou_thres: float = 0.6,
+                     multi_label: bool = False, compute_dtype=jnp.bfloat16,
+                     folded: bool = True, max_det: int = 100,
+                     progress: bool = False):
+    """Run the full eval loop. Returns dict with coco stats (12,), ap, lamr,
+    fps, curves, and per-image predictions."""
+    if folded:
+        fold = jax.jit(lambda v: graph.fold_batchnorm(ir, v))
+        run_vars = fold(variables)
+
+        @jax.jit
+        def infer(params, xv, xl):
+            io, _ = graph.apply_folded(ir, params, xv, xl,
+                                       compute_dtype=compute_dtype)
+            io = io.astype(jnp.float32)
+            return NMS.non_max_suppression(
+                io, conf_thres=conf_thres, iou_thres=iou_thres,
+                multi_label=multi_label, max_det=max_det)
+    else:
+        run_vars = variables
+
+        @jax.jit
+        def infer(params, xv, xl):
+            (io, _), _ = graph.apply(ir, params, xv, xl, train=False,
+                                     compute_dtype=compute_dtype)
+            io = io.astype(jnp.float32)
+            return NMS.non_max_suppression(
+                io, conf_thres=conf_thres, iou_thres=iou_thres,
+                multi_label=multi_label, max_det=max_det)
+
+    preds = []
+    coco_preds = {}
+    n_images = 0
+    fwd_time = 0.0
+    it = eval_batches(dataset, batch_size)
+    if progress:
+        import tqdm
+        it = tqdm.tqdm(it, desc="evaluating")
+
+    for v, l, idx, (ratio, pad) in it:
+        xl = l if ir.dual_stream else None
+        t0 = time.perf_counter()
+        det, valid = infer(run_vars, v, l if ir.dual_stream else v)
+        det = np.asarray(det)          # forces execution (tunnel-safe sync)
+        valid = np.asarray(valid)
+        fwd_time += time.perf_counter() - t0
+        n_images += len(idx)
+
+        for bi, img_id in enumerate(idx):
+            orig_wh = dataset.shapes[img_id]
+            orig_hw = (orig_wh[1], orig_wh[0])
+            d = det[bi][valid[bi]]
+            if len(d):
+                boxes = _undo_letterbox(d[:, :4], ratio, pad, orig_hw)
+            else:
+                boxes = np.zeros((0, 4))
+            coco_preds[int(img_id)] = (boxes, d[:, 4])
+            for b, s in zip(boxes, d[:, 4]):
+                preds.append({"img_id": int(img_id), "conf": float(s),
+                              "bbox": b})
+
+    preds.sort(key=lambda p: -p["conf"])
+    ap_lamr = compute_ap_lamr(preds, dataset.labels, dataset.shapes)
+    coco_stats = evaluate_coco(coco_preds, dataset.coco_ground_truth())
+    fps = n_images / fwd_time if fwd_time > 0 else 0.0
+    return {"coco_stats": coco_stats, "ap": ap_lamr["ap"],
+            "lamr": ap_lamr["lamr"], "fps": fps,
+            "curves": {k: ap_lamr[k] for k in
+                       ("recall", "precision", "fppi", "mr")},
+            "predictions": coco_preds}

@@ -1,0 +1,169 @@
+"""Full training orchestration: the reference's train.py:20-241 epoch loop,
+re-staged for TPU.
+
+Per epoch: device-augmented train batches -> jitted DP train step (bf16) ->
+cosine LR (epoch-granular) -> in-train COCO eval -> results.txt + TB scalars
+-> best/every checkpointing. Resume restores params/opt/epoch/best_map
+(reference train.py:93-137). Multi-scale training uses a fixed bucket set —
+each bucket shape is a separately cached XLA program (SURVEY.md §5
+"long-context" note), replacing the reference's random per-10-batch resize
+(kaist_train_eval_utils.py:58-71) without re-jit churn.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.pipeline import train_batches
+from ..eval.evaluator import evaluate_dataset
+from ..models import graph
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.logging import MetricLogger, ResultsWriter, TB_TAGS, make_tb_writer
+from . import optim as OPT
+from .step import TrainState, create_train_state, make_train_step
+
+
+def multi_scale_buckets(img_size: int, gs: int = 32):
+    """The reference samples sizes in [imgsz//1.5, imgsz//0.667] on a 32-px
+    grid (train.py:51-58); we take {min, mid, base, max} as compile buckets."""
+    lo = int(img_size // 1.5) // gs * gs
+    hi = int(img_size // 0.667) // gs * gs
+    mid = (lo + hi) // 2 // gs * gs
+    return sorted({lo, mid, img_size, hi})
+
+
+class Trainer:
+    def __init__(self, ir, hyp: dict, *, epochs: int, batch_size: int,
+                 img_size: int = 512, train_dataset=None, val_dataset=None,
+                 sgd: bool = False, freeze_layers: int = -1,
+                 multi_scale: bool = False, ema: bool = False,
+                 compute_dtype=jnp.bfloat16, out_dir: str = "runs",
+                 name: str = "exp", accumulate: int = 1,
+                 snowflake: bool = False, seed: int = 0):
+        self.ir = ir
+        self.hyp = dict(hyp)
+        self.epochs = epochs
+        self.batch_size = batch_size
+        self.img_size = img_size
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.multi_scale = multi_scale
+        self.snowflake = snowflake
+        self.compute_dtype = compute_dtype
+        self.out_dir = os.path.join(out_dir, name)
+        os.makedirs(self.out_dir, exist_ok=True)
+
+        steps_per_epoch = max(
+            len(train_dataset) // batch_size if train_dataset else 100, 1)
+        self.schedule = OPT.cosine_epoch_schedule(
+            hyp["lr0"], hyp["lrf"], epochs, steps_per_epoch)
+
+        variables = graph.init(ir, jax.random.PRNGKey(seed))
+        freeze_mask = None
+        if freeze_layers >= 0:
+            freeze_mask = OPT.freeze_mask_by_layer(variables["params"],
+                                                   freeze_layers)
+        self.tx = OPT.make_optimizer(self.hyp, self.schedule, sgd=sgd,
+                                     freeze_mask=freeze_mask,
+                                     accumulate=accumulate)
+        self.state = create_train_state(ir, jax.random.PRNGKey(seed), self.tx,
+                                        ema=ema, variables=variables)
+        self.step_fn = make_train_step(ir, self.hyp, self.tx,
+                                       compute_dtype=compute_dtype)
+        self.start_epoch = 0
+        self.best_map = 0.0
+        self.results = ResultsWriter(os.path.join(self.out_dir, "results.txt"))
+        self.tb = make_tb_writer(os.path.join(self.out_dir, "tb"))
+
+    # ------------------------------------------------------------------ resume
+
+    def load(self, ckpt_path: str):
+        """Tolerant resume (reference train.py:96-128 semantics)."""
+        template = {"params": self.state.params,
+                    "bn_state": self.state.bn_state,
+                    "opt_state": self.state.opt_state}
+        if self.state.ema is not None:
+            template["ema"] = self.state.ema
+        loaded = load_checkpoint(ckpt_path, template)
+        self.state = TrainState(
+            params=loaded["params"], bn_state=loaded["bn_state"],
+            opt_state=loaded["opt_state"],
+            step=jnp.asarray(loaded["step"], jnp.int32),
+            ema=loaded.get("ema", self.state.ema))
+        self.best_map = loaded["best_map"]
+        self.start_epoch = loaded["epoch"] + 1
+        if self.epochs < self.start_epoch:
+            self.epochs += loaded["epoch"]    # fine-tune extension
+        if loaded["training_results"]:
+            self.results.write_text(loaded["training_results"])
+
+    def save(self, path: str, epoch: int):
+        save_checkpoint(path, params=self.state.params,
+                        bn_state=self.state.bn_state,
+                        opt_state=self.state.opt_state,
+                        step=int(jax.device_get(self.state.step)),
+                        epoch=epoch, best_map=self.best_map,
+                        training_results=self.results.read(),
+                        ema=self.state.ema)
+
+    # ------------------------------------------------------------------- train
+
+    def train_one_epoch(self, epoch: int, print_freq: int = 50):
+        logger = MetricLogger(print_freq=print_freq)
+        key = jax.random.fold_in(jax.random.PRNGKey(123), epoch)
+        sizes = (multi_scale_buckets(self.img_size) if self.multi_scale
+                 else [self.img_size])
+        rng = np.random.default_rng(epoch)
+        batches = train_batches(
+            self.train_dataset, self.batch_size, key,
+            img_size=int(rng.choice(sizes)), hyp=self.hyp,
+            snowflake=self.snowflake, seed_epoch=epoch)
+        last = {}
+        for i, (batch, idx) in logger.log_every(batches, f"epoch {epoch}"):
+            self.state, metrics = self.step_fn(self.state, batch,
+                                               jax.random.fold_in(key, i))
+            last = {k: float(v) for k, v in metrics.items()}
+            if not math.isfinite(last["loss"]):
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch} step {i}: {last} "
+                    f"(images {[self.train_dataset.img_files[j] for j in idx]})")
+            logger.update(**last)
+        lr = float(self.schedule(jax.device_get(self.state.step)))
+        return last, lr
+
+    def evaluate(self, batch_size: int | None = None):
+        variables = {"params": self.state.params,
+                     "state": self.state.bn_state}
+        return evaluate_dataset(self.ir, variables, self.val_dataset,
+                                batch_size=batch_size or self.batch_size,
+                                compute_dtype=self.compute_dtype)
+
+    def fit(self, save_best: bool = True, notest: bool = False):
+        for epoch in range(self.start_epoch, self.epochs):
+            mloss, lr = self.train_one_epoch(epoch)
+            if notest and epoch != self.epochs - 1:
+                continue
+            res = self.evaluate()
+            coco = res["coco_stats"]
+            scalars = [mloss.get("box_loss", 0), mloss.get("obj_loss", 0),
+                       mloss.get("class_loss", 0), mloss.get("loss", 0),
+                       lr, coco[0], coco[1], coco[8]]
+            for tag, v in zip(TB_TAGS, scalars):
+                self.tb.add_scalar(tag, float(v), epoch)
+            self.results.append(epoch, coco, mloss.get("loss", 0.0), lr)
+
+            if coco[0] > self.best_map:
+                self.best_map = float(coco[0])
+            if save_best:
+                if self.best_map == float(coco[0]):
+                    self.save(os.path.join(self.out_dir, "best"), epoch)
+            else:
+                self.save(os.path.join(self.out_dir, f"epoch{epoch}"), epoch)
+        return self.best_map

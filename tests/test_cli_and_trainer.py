@@ -1,0 +1,148 @@
+"""End-to-end: detect CLI on the reference's bundled KAIST sample pairs,
+trainer fit + checkpoint resume on the synthetic mini dataset, anchor
+evolution sanity."""
+
+import json
+import os
+import subprocess
+import sys
+
+import cv2
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TINY = os.path.join(REPO, "tests", "fixtures", "tiny_dyolov3.cfg")
+
+
+@pytest.fixture(scope="module")
+def mini_kaist(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kaist2")
+    img_dir = root / "images" / "set00"
+    lab_dir = root / "labels" / "set00"
+    img_dir.mkdir(parents=True)
+    lab_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    logical = []
+    for i in range(8):
+        v = rng.integers(0, 256, (128, 160, 3), dtype=np.uint8)
+        stem = f"I{i:05d}"
+        cv2.imwrite(str(img_dir / f"{stem}_visible.jpg"), v)
+        cv2.imwrite(str(img_dir / f"{stem}_lwir.jpg"), v[::-1].copy())
+        (lab_dir / f"{stem}.txt").write_text("0 0.5 0.5 0.25 0.4\n")
+        logical.append(str(img_dir / f"{stem}.jpg"))
+    split = root / "train.txt"
+    split.write_text("\n".join(logical) + "\n")
+    data = root / "mini.data"
+    data.write_text(f"classes=1\ntrain={split}\nvalid={split}\n"
+                    f"test={split}\n")
+    return str(data)
+
+
+HYP = {"lr0": 1e-3, "lrf": 0.1, "momentum": 0.9, "weight_decay": 0.0,
+       "box": 3.54, "obj": 64.3, "cls": 37.4, "cls_pw": 1.0, "obj_pw": 1.0,
+       "iou_t": 0.2, "fl_gamma": 0.0, "ciou": 1.0,
+       "hsv_h": 0.0138, "hsv_s": 0.678, "hsv_v": 0.36,
+       "degrees": 0, "translate": 0, "scale": 0, "shear": 0}
+
+
+def test_trainer_fit_and_resume(mini_kaist, tmp_path):
+    from double_yolo_kaist_tpu.config.ir import compile_cfg
+    from double_yolo_kaist_tpu.config.parser import parse_data_cfg
+    from double_yolo_kaist_tpu.data.dataset import KaistDataset
+    from double_yolo_kaist_tpu.train.trainer import Trainer
+
+    dd = parse_data_cfg(mini_kaist)
+    train_ds = KaistDataset(dd["train"], 64, 4, augment=True, hyp=HYP)
+    val_ds = KaistDataset(dd["valid"], 64, 4, rect=True)
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+
+    tr = Trainer(ir, HYP, epochs=2, batch_size=4, img_size=64,
+                 train_dataset=train_ds, val_dataset=val_ds,
+                 compute_dtype=jnp.float32,
+                 out_dir=str(tmp_path), name="t1")
+    best = tr.fit(save_best=False)
+    assert os.path.exists(os.path.join(str(tmp_path), "t1", "epoch1"))
+    results = open(os.path.join(str(tmp_path), "t1", "results.txt")).read()
+    assert results.count("epoch:") == 2
+
+    # resume from epoch1 and fine-tune one more epoch
+    tr2 = Trainer(ir, HYP, epochs=3, batch_size=4, img_size=64,
+                  train_dataset=train_ds, val_dataset=val_ds,
+                  compute_dtype=jnp.float32,
+                  out_dir=str(tmp_path), name="t1")
+    tr2.load(os.path.join(str(tmp_path), "t1", "epoch1"))
+    assert tr2.start_epoch == 2
+    assert int(jax.device_get(tr2.state.step)) == 4   # 2 epochs x 2 steps
+    p_before = np.asarray(tr2.state.params["l0"]["w"]).copy()
+    tr2.fit(save_best=False)
+    assert tr2.results.read().count("epoch:") == 3
+    assert np.abs(np.asarray(tr2.state.params["l0"]["w"]) - p_before).max() > 0
+
+
+def test_evaluator_on_trained(mini_kaist):
+    from double_yolo_kaist_tpu.config.ir import compile_cfg
+    from double_yolo_kaist_tpu.config.parser import parse_data_cfg
+    from double_yolo_kaist_tpu.data.dataset import KaistDataset
+    from double_yolo_kaist_tpu.eval.evaluator import evaluate_dataset
+    from double_yolo_kaist_tpu.models import graph
+
+    dd = parse_data_cfg(mini_kaist)
+    ds = KaistDataset(dd["test"], 64, 4, rect=True)
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    res = evaluate_dataset(ir, variables, ds, batch_size=4,
+                           compute_dtype=jnp.float32)
+    assert res["coco_stats"].shape == (12,)
+    assert 0.0 <= res["ap"] <= 1.0
+    assert 0.0 <= res["lamr"] <= 1.0
+    assert res["fps"] > 0
+
+
+def test_detect_cli_on_reference_samples(tmp_path):
+    """Run the detect CLI end-to-end on the reference's bundled image pairs
+    with a random-weight tiny model (plumbing test, not accuracy)."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli", "detect.py"),
+         "--cfg", TINY, "--source", "/root/reference/imgs/ori",
+         "--img-size", "64", "--max-images", "2",
+         "--out-dir", str(tmp_path), "--conf-thres", "0.9"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "average fps" in out.stdout
+    assert "miss rate" in out.stdout
+    figs = [f for f in os.listdir(tmp_path) if f.endswith(".jpg")]
+    assert len(figs) == 2
+
+
+def test_anchor_evolution():
+    from double_yolo_kaist_tpu.train.anchors import (anchor_fitness,
+                                                     evolve_anchors)
+    rng = np.random.default_rng(0)
+    whs = np.concatenate([
+        rng.normal([20, 40], 3, (200, 2)),
+        rng.normal([60, 120], 8, (200, 2)),
+        rng.normal([150, 250], 20, (200, 2))]).clip(2)
+    k = evolve_anchors(whs, n=6, gen=50, seed=0)
+    assert k.shape == (6, 2)
+    f, recall = anchor_fitness(k, whs)
+    assert recall > 0.95
+    areas = k.prod(1)
+    assert (np.diff(areas) >= 0).all()    # sorted by area
+
+
+def test_anchor_cfg_rewrite(tmp_path):
+    from double_yolo_kaist_tpu.config.parser import parse_model_cfg
+    from double_yolo_kaist_tpu.train.anchors import rewrite_cfg_anchors
+    cfg = tmp_path / "m.cfg"
+    cfg.write_text(open(TINY).read())
+    anchors = np.asarray([[11, 21], [31, 41], [51, 61],
+                          [71, 81], [91, 101], [111, 121]])
+    rewrite_cfg_anchors(str(cfg), anchors)
+    _, blocks = parse_model_cfg(str(cfg))
+    yolos = [b for b in blocks if b["type"] == "yolo"]
+    np.testing.assert_array_equal(yolos[0]["anchors"], anchors)
