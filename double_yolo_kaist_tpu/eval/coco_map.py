@@ -52,24 +52,28 @@ def _evaluate_image(dets, scores, gts, area_rng, max_det):
     gt_ignore = gt_ignore[g_order]
 
     T, D, G = len(IOU_THRS), len(dets), len(gts)
-    iou = _iou_matrix(dets, gts)
-    dt_m = np.zeros((T, D), np.int64) - 1          # matched gt index or -1
-    gt_m = np.zeros((T, G), np.int64) - 1
-    for t, thr in enumerate(IOU_THRS):
-        for d in range(D):
-            best, m = min(thr, 1 - 1e-10), -1
-            for g in range(G):
-                if gt_m[t, g] >= 0:
-                    continue
-                # stop at ignored gts if a real match was already found
-                if m > -1 and not gt_ignore[m] and gt_ignore[g]:
-                    break
-                if iou[d, g] < best:
-                    continue
-                best, m = iou[d, g], g
-            if m >= 0:
-                dt_m[t, d] = m
-                gt_m[t, m] = d
+    from ..utils import native as NAT
+    dt_m = NAT.coco_match(dets, gts, gt_ignore, IOU_THRS) \
+        if (D and G) else None
+    if dt_m is None:
+        iou = _iou_matrix(dets, gts)
+        dt_m = np.zeros((T, D), np.int64) - 1      # matched gt index or -1
+        gt_m = np.zeros((T, G), np.int64) - 1
+        for t, thr in enumerate(IOU_THRS):
+            for d in range(D):
+                best, m = min(thr, 1 - 1e-10), -1
+                for g in range(G):
+                    if gt_m[t, g] >= 0:
+                        continue
+                    # stop at ignored gts once a real match was found
+                    if m > -1 and not gt_ignore[m] and gt_ignore[g]:
+                        break
+                    if iou[d, g] < best:
+                        continue
+                    best, m = iou[d, g], g
+                if m >= 0:
+                    dt_m[t, d] = m
+                    gt_m[t, m] = d
 
     d_area = (dets[:, 2] - dets[:, 0]) * (dets[:, 3] - dets[:, 1]) if D \
         else np.zeros(0)

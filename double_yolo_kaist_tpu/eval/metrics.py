@@ -61,6 +61,48 @@ def _iou_one_to_many(box: np.ndarray, gts: np.ndarray) -> np.ndarray:
     return inter / (a1 + a2 - inter)
 
 
+def _match_preds(preds: list, gt_xyxy: list):
+    """Greedy conf-sorted TP/FP assignment (native C++ kernel from
+    native/fastmatch.cpp when buildable, numpy otherwise)."""
+    nd = len(preds)
+    tp = np.zeros(nd, np.int32)
+    fp = np.zeros(nd, np.int32)
+    if nd == 0:
+        return tp, fp
+
+    from ..utils import native as NAT
+
+    if NAT.get_lib() is not None:
+        pred_boxes = np.stack([np.asarray(p["bbox"], np.float32)
+                               for p in preds])
+        pred_img = np.asarray([p["img_id"] for p in preds], np.int32)
+        offsets = np.zeros(len(gt_xyxy) + 1, np.int64)
+        np.cumsum([len(g) for g in gt_xyxy], out=offsets[1:])
+        gt_flat = (np.concatenate(gt_xyxy).astype(np.float32)
+                   if offsets[-1] else np.zeros((0, 4), np.float32))
+        res = NAT.greedy_match(pred_boxes, pred_img, gt_flat, offsets,
+                               IOU_THRESHOLD)
+        if res is not None:
+            return res[0].astype(np.int32), res[1].astype(np.int32)
+
+    matched = [np.zeros(len(g), bool) for g in gt_xyxy]
+    for idx, pred in enumerate(preds):
+        img_id = pred["img_id"]
+        gts = gt_xyxy[img_id]
+        if len(gts) == 0:
+            fp[idx] = 1
+            continue
+        iou = _iou_one_to_many(np.asarray(pred["bbox"], np.float32),
+                               gts.astype(np.float32))
+        j = int(np.argmax(iou))
+        if iou[j] >= IOU_THRESHOLD and not matched[img_id][j]:
+            matched[img_id][j] = True
+            tp[idx] = 1
+        else:
+            fp[idx] = 1
+    return tp, fp
+
+
 def compute_ap_lamr(preds: list, labels: list, shapes: np.ndarray) -> dict:
     """AP@0.5 + LAMR over a whole split.
 
@@ -86,26 +128,10 @@ def compute_ap_lamr(preds: list, labels: list, shapes: np.ndarray) -> dict:
                           cx - bw / 2 + bw, cy - bh / 2 + bh], axis=1)
         gt_xyxy.append(boxes.astype(np.int32))
 
-    matched = [np.zeros(len(g), bool) for g in gt_xyxy]
     n_gt = int(sum(len(g) for g in gt_xyxy))
     nd = len(preds)
-    tp = np.zeros(nd, np.int32)
-    fp = np.zeros(nd, np.int32)
 
-    for idx, pred in enumerate(preds):
-        img_id = pred["img_id"]
-        gts = gt_xyxy[img_id]
-        if len(gts) == 0:
-            fp[idx] = 1
-            continue
-        iou = _iou_one_to_many(np.asarray(pred["bbox"], np.float32),
-                               gts.astype(np.float32))
-        j = int(np.argmax(iou))
-        if iou[j] >= IOU_THRESHOLD and not matched[img_id][j]:
-            matched[img_id][j] = True
-            tp[idx] = 1
-        else:
-            fp[idx] = 1
+    tp, fp = _match_preds(preds, gt_xyxy)
 
     fp_cum = np.cumsum(fp)
     tp_cum = np.cumsum(tp)
