@@ -40,6 +40,19 @@ def set_precision(p):
     return prev
 
 
+# Conv output/accumulator dtype. fp32 (default) keeps full-precision
+# accumulation results; bf16 halves conv-output HBM traffic on inference
+# paths (the MXU still accumulates fp32 internally, results are truncated).
+_CONV_OUT_DTYPE = jnp.float32
+
+
+def set_conv_out_dtype(dtype):
+    global _CONV_OUT_DTYPE
+    prev = _CONV_OUT_DTYPE
+    _CONV_OUT_DTYPE = dtype
+    return prev
+
+
 # ----------------------------------------------------------------- activations
 
 def _mish(x):
@@ -101,7 +114,7 @@ def conv2d(x, w, stride=(1, 1), pad: int = 0, groups: int = 1):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
         precision=_PRECISION,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_CONV_OUT_DTYPE,
     )
 
 

@@ -13,6 +13,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libfastmatch.so fastmatch.cpp
 
+#include <cstddef>
 #include <cstdint>
 #include <vector>
 
