@@ -40,10 +40,11 @@ def set_precision(p):
     return prev
 
 
-# Conv output/accumulator dtype. fp32 (default) keeps full-precision
-# accumulation results; bf16 halves conv-output HBM traffic on inference
-# paths (the MXU still accumulates fp32 internally, results are truncated).
-_CONV_OUT_DTYPE = jnp.float32
+# Conv output dtype override. None (default) = match the input dtype: the
+# MXU accumulates fp32 internally either way, and a same-dtype output keeps
+# the conv transpose (backward pass) dtype-consistent under bf16 training.
+# Set to jnp.float32 to force full-precision conv outputs on inference paths.
+_CONV_OUT_DTYPE = None
 
 
 def set_conv_out_dtype(dtype):
@@ -188,7 +189,10 @@ def squeeze_excitation(x, params):
 
 def max_pool(x, kernel: int, stride=(1, 1), pad: int = 0):
     """torch MaxPool2d semantics: symmetric padding with -inf."""
-    neg = (jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating)
+    # -inf init lets JAX recognize the max monoid (reduce_window_max), which
+    # is required for the reverse-mode gradient; finfo.min would silently
+    # fall back to a generic (non-differentiable) reduce_window
+    neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
            else jnp.iinfo(x.dtype).min)
     return jax.lax.reduce_window(
         x, neg, jax.lax.max,
