@@ -119,6 +119,35 @@ def make_eval_preprocess_fn(src_hw, dst_hw, img_size: int,
     return fn, (h1 / h0, w1 / w0), (dw, dh)
 
 
+def make_letterbox_fn(src_hw, dst_hw, scale_up: bool = True,
+                      clahe: bool = False):
+    """Single-stage letterbox (the detect flow: reference detect.py:26-48
+    calls letterbox directly on the original frame, no load_image pre-resize).
+    Returns (fn, ratio, (dw, dh)) with reference img_utils.py:5-53 math."""
+    r = min(dst_hw[0] / src_hw[0], dst_hw[1] / src_hw[1])
+    if not scale_up:
+        r = min(r, 1.0)
+    new_w, new_h = int(round(src_hw[1] * r)), int(round(src_hw[0] * r))
+    dw, dh = (dst_hw[1] - new_w) / 2, (dst_hw[0] - new_h) / 2
+    top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
+    bottom, right = dst_hw[0] - new_h - top, dst_hw[1] - new_w - left
+
+    @jax.jit
+    def fn(v_u8, l_u8):
+        v = A.resize_bilinear(v_u8, new_h, new_w)
+        l = A.resize_bilinear(l_u8, new_h, new_w)
+        if clahe:
+            v = clahe_batch(jnp.clip(jnp.round(v), 0, 255)
+                            .astype(jnp.uint8)).astype(jnp.float32)
+            l = clahe_batch(jnp.clip(jnp.round(l), 0, 255)
+                            .astype(jnp.uint8)).astype(jnp.float32)
+        pad_widths = ((0, 0), (top, bottom), (left, right), (0, 0))
+        return (jnp.pad(v, pad_widths) / 255.0,
+                jnp.pad(l, pad_widths) / 255.0)
+
+    return fn, (r, r), (dw, dh)
+
+
 # ------------------------------------------------------------------ iterators
 
 def train_batches(dataset, batch_size: int, key, *, img_size: int,
