@@ -1,0 +1,104 @@
+"""Production inference API: a batching, shape-bucketed Predictor.
+
+The reference has no serving layer (detect.py is a one-off script); this is
+the deployment-facing surface for the TPU build: BN-folded bf16 forward +
+fixed-shape NMS compiled once per (batch, resolution) bucket, with automatic
+padding of partial batches so no new XLA programs are compiled at serve time.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config.ir import compile_cfg
+from .data.pipeline import make_letterbox_fn
+from .models import graph
+from .ops import nms as NMS
+
+
+class Predictor:
+    def __init__(self, cfg: str, variables: dict, *, img_size: int = 512,
+                 conf_thres: float = 0.1, iou_thres: float = 0.5,
+                 multi_label: bool = True, max_det: int = 100,
+                 batch_buckets: Sequence[int] = (1, 8, 32),
+                 compute_dtype=jnp.bfloat16):
+        self.ir = compile_cfg(cfg) if isinstance(cfg, str) else cfg
+        self.folded = jax.jit(
+            lambda v: graph.fold_batchnorm(self.ir, v))(variables)
+        self.img_size = img_size
+        self.batch_buckets = sorted(batch_buckets)
+        self.conf_thres = conf_thres
+        self._pre_cache: dict = {}
+        self._dtype = compute_dtype
+
+        def infer(params, xv, xl):
+            io, _ = graph.apply_folded(self.ir, params, xv, xl,
+                                       compute_dtype=compute_dtype)
+            return NMS.non_max_suppression(
+                io.astype(jnp.float32), conf_thres=conf_thres,
+                iou_thres=iou_thres, multi_label=multi_label,
+                max_det=max_det)
+
+        self._infer = jax.jit(infer)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.batch_buckets:
+            if n <= b:
+                return b
+        return self.batch_buckets[-1]
+
+    def _preprocess(self, src_hw):
+        if src_hw not in self._pre_cache:
+            s = self.img_size
+            r = s / max(src_hw)
+            dst = (int(np.ceil(src_hw[0] * r / 64) * 64),
+                   int(np.ceil(src_hw[1] * r / 64) * 64))
+            self._pre_cache[src_hw] = make_letterbox_fn(src_hw, dst,
+                                                        scale_up=False)
+        return self._pre_cache[src_hw]
+
+    def __call__(self, v_imgs: np.ndarray, l_imgs: Optional[np.ndarray] = None):
+        """v_imgs/l_imgs: (N, H, W, 3) uint8 RGB at native size.
+
+        Returns list of (boxes xyxy in the ORIGINAL frame, scores, classes)
+        per image."""
+        n = len(v_imgs)
+        if l_imgs is None:
+            l_imgs = v_imgs
+        src_hw = tuple(v_imgs.shape[1:3])
+        fn, ratio, pad = self._preprocess(src_hw)
+
+        bucket = self._bucket(n)
+        out = []
+        for b0 in range(0, n, bucket):
+            chunk_v = v_imgs[b0:b0 + bucket]
+            chunk_l = l_imgs[b0:b0 + bucket]
+            real = len(chunk_v)
+            if real < bucket:   # pad to the compiled batch shape
+                padn = bucket - real
+                chunk_v = np.concatenate(
+                    [chunk_v, np.zeros((padn,) + chunk_v.shape[1:],
+                                       chunk_v.dtype)])
+                chunk_l = np.concatenate(
+                    [chunk_l, np.zeros((padn,) + chunk_l.shape[1:],
+                                       chunk_l.dtype)])
+            xv, xl = fn(jnp.asarray(chunk_v), jnp.asarray(chunk_l))
+            det, valid = self._infer(self.folded, xv, xl)
+            det = np.asarray(det)
+            valid = np.asarray(valid)
+            for i in range(real):
+                d = det[i][valid[i]]
+                boxes = d[:, :4].copy()
+                if len(boxes):
+                    boxes[:, [0, 2]] -= pad[0]
+                    boxes[:, [1, 3]] -= pad[1]
+                    boxes /= ratio[0]
+                    boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, src_hw[1])
+                    boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, src_hw[0])
+                out.append((boxes, d[:, 4], d[:, 5].astype(int)))
+        return out
