@@ -150,18 +150,26 @@ def make_letterbox_fn(src_hw, dst_hw, scale_up: bool = True,
 
 # ------------------------------------------------------------------ iterators
 
-def train_batches(dataset, batch_size: int, key, *, img_size: int,
+def train_batches(dataset, batch_size: int, key, *, img_size,
                   hyp: dict, snowflake: bool = False,
                   max_targets_per_img: int = 16, shuffle: bool = True,
                   drop_last: bool = True, seed_epoch: int = 0):
-    """Yield jitted-augmented device batches for one epoch."""
+    """Yield jitted-augmented device batches for one epoch.
+
+    ``img_size`` may be an int or a list of bucket sizes; with a list, the
+    size is drawn per batch (multi-scale training, reference train.py:46-59 /
+    kaist_train_eval_utils.py:58-71) — each bucket is a separately cached
+    XLA program, so no re-jit churn."""
     n = len(dataset)
     src_hw = tuple(int(x) for x in dataset.shapes[0][::-1])
-    aug = make_train_augment_fn(src_hw, img_size, hyp, snowflake=snowflake,
-                                max_targets_per_img=max_targets_per_img)
+    sizes = [img_size] if isinstance(img_size, int) else list(img_size)
+    augs = {s: make_train_augment_fn(src_hw, s, hyp, snowflake=snowflake,
+                                     max_targets_per_img=max_targets_per_img)
+            for s in sizes}
     order = np.arange(n)
+    rng = np.random.default_rng(seed_epoch)
     if shuffle:
-        np.random.default_rng(seed_epoch).shuffle(order)
+        rng.shuffle(order)
     stop = n - (n % batch_size) if drop_last else n
     for b0 in range(0, stop, batch_size):
         idx = order[b0:b0 + batch_size]
@@ -171,6 +179,7 @@ def train_batches(dataset, batch_size: int, key, *, img_size: int,
         labels = [dataset.labels[i] for i in idx]
         t, m = pad_labels(labels, max_targets_per_img)
         sub = jax.random.fold_in(key, b0)
+        aug = augs[sizes[int(rng.integers(len(sizes)))]]
         yield aug(sub, jnp.asarray(np.stack(vs)), jnp.asarray(np.stack(ls)),
                   jnp.asarray(t), jnp.asarray(m)), idx
 

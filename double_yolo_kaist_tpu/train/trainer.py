@@ -119,11 +119,10 @@ class Trainer:
         logger = MetricLogger(print_freq=print_freq)
         key = jax.random.fold_in(jax.random.PRNGKey(123), epoch)
         sizes = (multi_scale_buckets(self.img_size) if self.multi_scale
-                 else [self.img_size])
-        rng = np.random.default_rng(epoch)
+                 else self.img_size)
         batches = train_batches(
             self.train_dataset, self.batch_size, key,
-            img_size=int(rng.choice(sizes)), hyp=self.hyp,
+            img_size=sizes, hyp=self.hyp,
             snowflake=self.snowflake, seed_epoch=epoch)
         last = {}
         for i, (batch, idx) in logger.log_every(batches, f"epoch {epoch}"):

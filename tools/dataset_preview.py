@@ -23,6 +23,11 @@ import numpy as np  # noqa: E402
 
 import jax  # noqa: E402
 
+# the axon TPU plugin pins jax_platforms; honor an explicit
+# JAX_PLATFORMS=cpu request (env alone is overridden)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 from double_yolo_kaist_tpu.config.parser import load_hyp, parse_data_cfg  # noqa: E402
 from double_yolo_kaist_tpu.data.dataset import KaistDataset  # noqa: E402
 from double_yolo_kaist_tpu.data.pipeline import train_batches  # noqa: E402
