@@ -45,6 +45,9 @@ def main(argv=None):
     p.add_argument("--out-dir", type=str, default="runs")
     p.add_argument("--fp32", action="store_true",
                    help="disable bf16 compute")
+    p.add_argument("--remat-segments", type=int, default=0,
+                   help="gradient-checkpoint the forward into N segments "
+                        "(trades recompute for HBM at large batch)")
     opt = p.parse_args(argv)
 
     opt.cfg = check_file(opt.cfg)
@@ -79,7 +82,8 @@ def main(argv=None):
                       multi_scale=opt.multi_scale, ema=opt.ema,
                       compute_dtype=jnp.float32 if opt.fp32 else jnp.bfloat16,
                       out_dir=opt.out_dir, name=opt.name,
-                      accumulate=opt.accumulate, snowflake=opt.snow)
+                      accumulate=opt.accumulate, snowflake=opt.snow,
+                      remat_segments=opt.remat_segments)
     if opt.weights:
         trainer.state = trainer.state._replace(
             params=variables["params"], bn_state=variables["state"])

@@ -11,3 +11,14 @@ __version__ = "0.1.0"
 
 from .config.parser import parse_model_cfg, parse_data_cfg, load_hyp  # noqa: F401
 from .config.ir import compile_cfg, GraphIR  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy heavyweight entry points (avoid importing jax at package import)
+    if name == "Predictor":
+        from .serving import Predictor
+        return Predictor
+    if name == "Trainer":
+        from .train.trainer import Trainer
+        return Trainer
+    raise AttributeError(name)

@@ -96,9 +96,55 @@ def decode_head(p, anchors: np.ndarray, stride: int, bf_type: str):
 
 # ----------------------------------------------------------------------- apply
 
+def _exec_node(node, p, s, x, x2, cache, *, train, rng, axis_name):
+    """Execute one IR node. Returns (x, new_state_entry|None, raw_head|None)."""
+    kind = node.kind
+    ns = None
+    head = None
+    if kind == "conv":
+        inp = x2 if node.takes_second_input else x
+        x, bn_s = L.conv_bn_act(inp, p, s, stride=node.stride, pad=node.pad,
+                                groups=node.groups, act=node.act, bn=node.bn,
+                                train=train, axis_name=axis_name)
+        if bn_s is not None and train:
+            ns = bn_s
+    elif kind == "dwconv":
+        x, bn_s = L.depthwise_separable(x, p, s, stride=node.stride,
+                                        train=train, axis_name=axis_name)
+        if train:
+            ns = bn_s
+    elif kind == "se":
+        x = L.squeeze_excitation(x, p)
+    elif kind == "inception":
+        x, bn_s = L.inception(x, p, s, train=train, axis_name=axis_name)
+        if train:
+            ns = bn_s
+    elif kind == "maxpool":
+        x = L.max_pool(x, node.kernel, node.stride, node.pad)
+    elif kind == "avgpool":
+        x = L.adaptive_avg_pool(x, node.out_size)
+    elif kind == "upsample":
+        x = L.upsample_nearest(x, node.scale)
+    elif kind == "route":
+        feats = [cache[j] for j in node.inputs]
+        x = feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=-1)
+    elif kind == "shortcut":
+        extras = [cache[j] for j in node.inputs]
+        x = L.weighted_fusion(x, extras, p["w"] if node.weighted else None)
+    elif kind == "dropout":
+        if train and rng is not None and node.p > 0:
+            x = L.dropout(x, node.p, jax.random.fold_in(rng, node.index))
+    elif kind == "yolo":
+        na, no = len(node.anchors), node.nc + 5
+        head = reshape_head(x, na, no)
+    else:
+        raise ValueError(f"unknown node kind {kind}")
+    return x, ns, head
+
+
 def apply(ir: GraphIR, variables: dict, xv, xl=None, *, train: bool = False,
           rng=None, axis_name: Optional[str] = None,
-          compute_dtype=None):
+          compute_dtype=None, remat_segments: int = 0):
     """Run the graph.
 
     Args:
@@ -111,6 +157,10 @@ def apply(ir: GraphIR, variables: dict, xv, xl=None, *, train: bool = False,
       axis_name: mesh axis for cross-replica BatchNorm statistics.
       compute_dtype: dtype activations run in (e.g. jnp.bfloat16); params stay
         fp32 and BN statistics are always fp32.
+      remat_segments: if > 0, split the layer sequence into this many
+        ``jax.checkpoint`` segments — activations inside a segment are
+        rematerialized in the backward pass, trading FLOPs for HBM (enables
+        large-batch training of the 100M+-param configs).
     """
     params, state = variables["params"], variables["state"]
     dtype = compute_dtype or xv.dtype
@@ -119,66 +169,58 @@ def apply(ir: GraphIR, variables: dict, xv, xl=None, *, train: bool = False,
     if ir.dual_stream and x2 is None:
         raise ValueError("dual-stream graph requires the LWIR input xl")
 
+    n = len(ir.nodes)
+    if remat_segments and train:
+        bounds = [round(i * n / remat_segments)
+                  for i in range(remat_segments + 1)]
+        segments = [ir.nodes[bounds[i]:bounds[i + 1]]
+                    for i in range(remat_segments)]
+    else:
+        segments = [ir.nodes]
+
     cache: dict[int, jnp.ndarray] = {}
     new_state: dict[str, dict] = {}
-    raw_heads, decoded = [], []
+    raw_heads = []
 
-    for node in ir.nodes:
-        key = f"l{node.index}"
-        kind = node.kind
-        p = params.get(key)
-        s = state.get(key)
+    def run_segment(nodes, params, state, x, x2, cache):
+        heads, seg_state, new_cache = [], {}, {}
+        for node in nodes:
+            key = f"l{node.index}"
+            x, ns, head = _exec_node(node, params.get(key), state.get(key),
+                                     x, x2, {**cache, **new_cache},
+                                     train=train, rng=rng,
+                                     axis_name=axis_name)
+            if ns is not None:
+                seg_state[key] = ns
+            if head is not None:
+                heads.append(head)
+            if node.index in ir.consumed:
+                new_cache[node.index] = x
+        return x, new_cache, seg_state, heads
 
-        if kind == "conv":
-            inp = x2 if node.takes_second_input else x
-            x, ns = L.conv_bn_act(inp, p, s, stride=node.stride, pad=node.pad,
-                                  groups=node.groups, act=node.act, bn=node.bn,
-                                  train=train, axis_name=axis_name)
-            if ns is not None and train:
-                new_state[key] = ns
-        elif kind == "dwconv":
-            x, ns = L.depthwise_separable(x, p, s, stride=node.stride,
-                                          train=train, axis_name=axis_name)
-            if train:
-                new_state[key] = ns
-        elif kind == "se":
-            x = L.squeeze_excitation(x, p)
-        elif kind == "inception":
-            x, ns = L.inception(x, p, s, train=train, axis_name=axis_name)
-            if train:
-                new_state[key] = ns
-        elif kind == "maxpool":
-            x = L.max_pool(x, node.kernel, node.stride, node.pad)
-        elif kind == "avgpool":
-            x = L.adaptive_avg_pool(x, node.out_size)
-        elif kind == "upsample":
-            x = L.upsample_nearest(x, node.scale)
-        elif kind == "route":
-            feats = [cache[j] for j in node.inputs]
-            x = feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=-1)
-        elif kind == "shortcut":
-            extras = [cache[j] for j in node.inputs]
-            x = L.weighted_fusion(x, extras, p["w"] if node.weighted else None)
-        elif kind == "dropout":
-            if train and rng is not None and node.p > 0:
-                x = L.dropout(x, node.p, jax.random.fold_in(rng, node.index))
-        elif kind == "yolo":
-            na, no = len(node.anchors), node.nc + 5
-            raw = reshape_head(x, na, no)
-            raw_heads.append(raw)
-            if not train:
-                decoded.append(decode_head(raw, node.anchors, node.yolo_stride,
-                                           node.bf_type))
+    for si, seg_nodes in enumerate(segments):
+        fn = run_segment
+        if len(segments) > 1:
+            fn = jax.checkpoint(
+                lambda p_, s_, x_, x2_, c_, _nodes=seg_nodes:
+                run_segment(_nodes, p_, s_, x_, x2_, c_))
+            x, added, seg_state, heads = fn(params, state, x, x2, cache)
         else:
-            raise ValueError(f"unknown node kind {kind}")
-
-        if node.index in ir.consumed:
-            cache[node.index] = x
+            x, added, seg_state, heads = fn(seg_nodes, params, state, x, x2,
+                                            cache)
+        cache.update(added)
+        new_state.update(seg_state)
+        raw_heads.extend(heads)
 
     if train:
         merged = dict(state)
         merged.update(new_state)
         return raw_heads, merged
+
+    decoded = []
+    for head, node in zip(raw_heads, ir.head_nodes()):
+        decoded.append(decode_head(head, node.anchors, node.yolo_stride,
+                                   node.bf_type))
     return (jnp.concatenate(decoded, axis=1), raw_heads), state
 
 

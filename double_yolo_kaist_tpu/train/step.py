@@ -47,11 +47,12 @@ def create_train_state(ir, rng, tx, ema: bool = False,
 
 def make_train_step(ir, hyp: dict, tx, *, gr: float = 1.0,
                     compute_dtype=jnp.bfloat16, ema_decay: float = 0.9999,
-                    donate: bool = True):
+                    donate: bool = True, remat_segments: int = 0):
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
     batch: {"v": (B,H,W,3), "l": (B,H,W,3) [dual only], "targets": (B,T,5),
-    "tmask": (B,T)} — images uint8 or float in [0,1]."""
+    "tmask": (B,T)} — images uint8 or float in [0,1].
+    ``remat_segments``: gradient-checkpoint the forward into N segments."""
     specs = LS.head_specs(ir)
 
     def step_fn(state: TrainState, batch: dict, rng):
@@ -61,7 +62,8 @@ def make_train_step(ir, hyp: dict, tx, *, gr: float = 1.0,
         def loss_fn(params):
             raws, new_bn = graph.apply(
                 ir, {"params": params, "state": state.bn_state}, xv, xl,
-                train=True, rng=rng, compute_dtype=compute_dtype)
+                train=True, rng=rng, compute_dtype=compute_dtype,
+                remat_segments=remat_segments)
             ld = LS.compute_loss(raws, batch["targets"], batch["tmask"],
                                  specs, hyp, gr)
             return LS.total_loss(ld), (ld, new_bn)

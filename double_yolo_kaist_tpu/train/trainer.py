@@ -46,7 +46,8 @@ class Trainer:
                  multi_scale: bool = False, ema: bool = False,
                  compute_dtype=jnp.bfloat16, out_dir: str = "runs",
                  name: str = "exp", accumulate: int = 1,
-                 snowflake: bool = False, seed: int = 0):
+                 snowflake: bool = False, seed: int = 0,
+                 remat_segments: int = 0):
         self.ir = ir
         self.hyp = dict(hyp)
         self.epochs = epochs
@@ -76,7 +77,8 @@ class Trainer:
         self.state = create_train_state(ir, jax.random.PRNGKey(seed), self.tx,
                                         ema=ema, variables=variables)
         self.step_fn = make_train_step(ir, self.hyp, self.tx,
-                                       compute_dtype=compute_dtype)
+                                       compute_dtype=compute_dtype,
+                                       remat_segments=remat_segments)
         self.start_epoch = 0
         self.best_map = 0.0
         self.results = ResultsWriter(os.path.join(self.out_dir, "results.txt"))
