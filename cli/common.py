@@ -14,7 +14,8 @@ from double_yolo_kaist_tpu.models import graph  # noqa: E402
 from double_yolo_kaist_tpu.models import import_weights as IW  # noqa: E402
 
 
-def build_model(cfg: str, weights: str = "", seed: int = 0):
+def build_model(cfg: str, weights: str = "", seed: int = 0,
+                cutoff: int = -1):
     """cfg path (or zoo name) + weights (ours dir / .pt / .weights / '')
     -> (ir, variables)."""
     if not os.path.exists(cfg):
@@ -35,7 +36,7 @@ def build_model(cfg: str, weights: str = "", seed: int = 0):
                 variables, IW.from_torch_checkpoint(ir, weights))
         elif weights.endswith(".weights"):
             variables = IW.merge_variables(
-                variables, IW.from_darknet_weights(ir, weights))
+                variables, IW.from_darknet_weights(ir, weights, cutoff=cutoff))
         else:
             raise ValueError(f"unrecognized weights format: {weights}")
     return ir, variables

@@ -45,6 +45,8 @@ def main(argv=None):
     p.add_argument("--out-dir", type=str, default="runs")
     p.add_argument("--fp32", action="store_true",
                    help="disable bf16 compute")
+    p.add_argument("--cutoff", type=int, default=-1,
+                   help="darknet .weights layer cutoff for transfer learning")
     p.add_argument("--remat-segments", type=int, default=0,
                    help="gradient-checkpoint the forward into N segments "
                         "(trades recompute for HBM at large batch)")
@@ -74,7 +76,7 @@ def main(argv=None):
     val_ds = KaistDataset(data_dict["valid"], opt.img_size, opt.batch_size,
                           hyp=hyp, rect=True, single_cls=opt.single_cls)
 
-    ir, variables = build_model(opt.cfg, opt.weights)
+    ir, variables = build_model(opt.cfg, opt.weights, cutoff=opt.cutoff)
     trainer = Trainer(ir, hyp, epochs=opt.epochs, batch_size=opt.batch_size,
                       img_size=opt.img_size, train_dataset=train_ds,
                       val_dataset=val_ds, sgd=opt.sgd,

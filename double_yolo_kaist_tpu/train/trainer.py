@@ -118,7 +118,10 @@ class Trainer:
     # ------------------------------------------------------------------- train
 
     def train_one_epoch(self, epoch: int, print_freq: int = 50):
+        from ..utils.profiling import StepTimer
+
         logger = MetricLogger(print_freq=print_freq)
+        timer = StepTimer()
         key = jax.random.fold_in(jax.random.PRNGKey(123), epoch)
         sizes = (multi_scale_buckets(self.img_size) if self.multi_scale
                  else self.img_size)
@@ -128,15 +131,18 @@ class Trainer:
             snowflake=self.snowflake, seed_epoch=epoch)
         last = {}
         for i, (batch, idx) in logger.log_every(batches, f"epoch {epoch}"):
+            timer.data_ready()
             self.state, metrics = self.step_fn(self.state, batch,
                                                jax.random.fold_in(key, i))
             last = {k: float(v) for k, v in metrics.items()}
+            timer.step_done()
             if not math.isfinite(last["loss"]):
                 raise FloatingPointError(
                     f"non-finite loss at epoch {epoch} step {i}: {last} "
                     f"(images {[self.train_dataset.img_files[j] for j in idx]})")
             logger.update(**last)
         lr = float(self.schedule(jax.device_get(self.state.step)))
+        print(f"epoch {epoch} timing: {timer.summary()}", flush=True)
         return last, lr
 
     def evaluate(self, batch_size: int | None = None):
