@@ -75,9 +75,9 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
         it = tqdm.tqdm(it, desc="evaluating")
 
     for v, l, idx, (ratio, pad) in it:
-        xl = l if ir.dual_stream else None
         t0 = time.perf_counter()
-        det, valid = infer(run_vars, v, l if ir.dual_stream else v)
+        # single-stream graphs simply ignore the second input
+        det, valid = infer(run_vars, v, l)
         det = np.asarray(det)          # forces execution (tunnel-safe sync)
         valid = np.asarray(valid)
         fwd_time += time.perf_counter() - t0
