@@ -9,6 +9,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax  # noqa: E402
 
+# the axon TPU plugin pins jax_platforms at interpreter start; honor an
+# explicit JAX_PLATFORMS=cpu request (the env var alone is overridden)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 from double_yolo_kaist_tpu.config.ir import compile_cfg  # noqa: E402
 from double_yolo_kaist_tpu.models import graph  # noqa: E402
 from double_yolo_kaist_tpu.models import import_weights as IW  # noqa: E402
