@@ -49,7 +49,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from double_yolo_kaist_tpu.data.pipeline import make_eval_preprocess_fn
+    from double_yolo_kaist_tpu.data.pipeline import make_letterbox_fn
     from double_yolo_kaist_tpu.models import graph
     from double_yolo_kaist_tpu.ops import nms as NMS
     from double_yolo_kaist_tpu.utils.draw import draw_boxes
@@ -89,7 +89,10 @@ def main(argv=None):
         fit_w = int(np.ceil(src_hw[1] * r / 64) * 64)
         sig = (src_hw, (fit_h, fit_w))
         if sig not in pre_cache:
-            pre_cache[sig] = make_eval_preprocess_fn(src_hw, (fit_h, fit_w), s)
+            # single-stage letterbox: the reference detect flow letterboxes
+            # the raw frame directly (detect.py:26-48, auto=True mod-64 pad)
+            pre_cache[sig] = make_letterbox_fn(src_hw, (fit_h, fit_w),
+                                               scale_up=False)
         fn, ratio, pad = pre_cache[sig]
         xv, xl = fn(jnp.asarray(v0[None]), jnp.asarray(l0[None]))
 
