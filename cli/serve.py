@@ -1,0 +1,97 @@
+"""Minimal production inference server over the batching Predictor.
+
+POST /detect with a JSON body:
+  {"visible": <base64 jpg/png>, "lwir": <base64 jpg/png>}
+-> {"boxes": [[x1,y1,x2,y2],...], "scores": [...], "classes": [...]}
+GET /healthz -> {"status": "ok", "model": ...}
+
+Stdlib-only (http.server); the heavy lifting is the compiled Predictor
+(shape-bucketed XLA programs, see double_yolo_kaist_tpu/serving.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import os
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from cli.common import build_model  # noqa: E402
+
+
+def make_handler(predictor, model_name: str):
+    import cv2
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok", "model": model_name})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/detect":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length))
+                v = cv2.imdecode(np.frombuffer(
+                    base64.b64decode(req["visible"]), np.uint8),
+                    cv2.IMREAD_COLOR)[:, :, ::-1]
+                l = v
+                if "lwir" in req:
+                    l = cv2.imdecode(np.frombuffer(
+                        base64.b64decode(req["lwir"]), np.uint8),
+                        cv2.IMREAD_COLOR)[:, :, ::-1]
+                (boxes, scores, classes), = predictor(v[None], l[None])
+                self._send(200, {"boxes": boxes.tolist(),
+                                 "scores": scores.tolist(),
+                                 "classes": classes.tolist()})
+            except Exception as e:  # noqa: BLE001 — report to client
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", type=str, required=True)
+    p.add_argument("--weights", type=str, default="")
+    p.add_argument("--img-size", type=int, default=512)
+    p.add_argument("--conf-thres", type=float, default=0.1)
+    p.add_argument("--port", type=int, default=8321)
+    p.add_argument("--host", default="127.0.0.1")
+    opt = p.parse_args(argv)
+
+    from double_yolo_kaist_tpu.serving import Predictor
+
+    ir, variables = build_model(opt.cfg, opt.weights)
+    predictor = Predictor(ir, variables, img_size=opt.img_size,
+                          conf_thres=opt.conf_thres, batch_buckets=(1,))
+    server = ThreadingHTTPServer(
+        (opt.host, opt.port),
+        make_handler(predictor, os.path.basename(str(opt.cfg))))
+    print(f"serving on http://{opt.host}:{opt.port}", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

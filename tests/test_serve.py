@@ -1,0 +1,76 @@
+"""HTTP inference server: spawn cli/serve.py, hit /healthz and /detect."""
+
+import base64
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.request
+
+import cv2
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TINY = os.path.join(REPO, "tests", "fixtures", "tiny_dyolov3.cfg")
+PORT = 8399
+
+
+@pytest.fixture(scope="module")
+def server():
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "cli", "serve.py"),
+         "--cfg", TINY, "--img-size", "64", "--conf-thres", "0.005",
+         "--port", str(PORT)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{PORT}/healthz", timeout=2) as r:
+                if json.loads(r.read())["status"] == "ok":
+                    break
+        except OSError:
+            if proc.poll() is not None:
+                raise RuntimeError(proc.stdout.read())
+            time.sleep(1)
+    else:
+        proc.kill()
+        raise TimeoutError("server did not come up")
+    yield proc
+    proc.kill()
+
+
+def _b64_jpg(img):
+    ok, buf = cv2.imencode(".jpg", img)
+    assert ok
+    return base64.b64encode(buf.tobytes()).decode()
+
+
+def test_detect_endpoint(server):
+    rng = np.random.default_rng(0)
+    v = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    body = json.dumps({"visible": _b64_jpg(v), "lwir": _b64_jpg(v)}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{PORT}/detect", data=body,
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        out = json.loads(r.read())
+    assert set(out) == {"boxes", "scores", "classes"}
+    assert len(out["boxes"]) == len(out["scores"]) == len(out["classes"])
+    for b in out["boxes"]:
+        assert 0 <= b[0] <= 128 and 0 <= b[1] <= 96
+
+
+def test_bad_request(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{PORT}/detect", data=b"not json",
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
