@@ -57,6 +57,12 @@ def set_conv_out_dtype(dtype):
 # ----------------------------------------------------------------- activations
 
 def _mish(x):
+    """mish(x) = x * tanh(softplus(x)).
+
+    NB: an algebraically exact single-exp reformulation
+    (x * (u^2+2u)/(u^2+2u+2), u=e^x) was A/B-tested on v5e and is ~20%
+    SLOWER end-to-end — XLA's fused tanh/softplus lowering beats the extra
+    select/divide traffic. Keep the canonical form."""
     return x * jnp.tanh(jax.nn.softplus(x))
 
 
