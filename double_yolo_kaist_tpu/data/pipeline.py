@@ -184,6 +184,38 @@ def train_batches(dataset, batch_size: int, key, *, img_size,
                   jnp.asarray(t), jnp.asarray(m)), idx
 
 
+def prefetch(iterator, depth: int = 2):
+    """Run an iterator in a background thread, keeping ``depth`` items ahead —
+    overlaps host JPEG decode with device steps (the reference used
+    DataLoader worker *processes*, kaist_dataset runs under num_workers<=8;
+    here one decode thread suffices because augmentation is on device)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: list = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def eval_batches(dataset, batch_size: int):
     """Yield (v, l, indices, ratio_pad) rect-letterboxed device batches."""
     n = len(dataset)

@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..data.pipeline import train_batches
+from ..data.pipeline import prefetch, train_batches
 from ..eval.evaluator import evaluate_dataset
 from ..models import graph
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
@@ -125,10 +125,10 @@ class Trainer:
         key = jax.random.fold_in(jax.random.PRNGKey(123), epoch)
         sizes = (multi_scale_buckets(self.img_size) if self.multi_scale
                  else self.img_size)
-        batches = train_batches(
+        batches = prefetch(train_batches(
             self.train_dataset, self.batch_size, key,
             img_size=sizes, hyp=self.hyp,
-            snowflake=self.snowflake, seed_epoch=epoch)
+            snowflake=self.snowflake, seed_epoch=epoch))
         last = {}
         for i, (batch, idx) in logger.log_every(batches, f"epoch {epoch}"):
             timer.data_ready()
