@@ -1,0 +1,255 @@
+"""Post-training int8 quantization for the inference path.
+
+v5e's MXU runs int8 at ~2x bf16 throughput (measured: 361 TOP/s vs 182
+TF/s on this chip for an isolated 3x3 conv), and the big configs are
+MXU-bound — so PTQ is the main lever past the bf16 ceiling.
+
+Scheme: symmetric int8. Weights are quantized per-output-channel from the
+BN-folded kernels; activations per-tensor with scales from a calibration
+pass (max-abs over sample batches). Convolutions run int8 x int8 -> int32 on
+the MXU and dequantize into the bias add; everything between convs stays
+bf16. SE blocks, head predictors (the last conv before each yolo node) and
+decode remain full precision — they are tiny and accuracy-critical.
+
+Flow:
+    folded = graph.fold_batchnorm(ir, variables)
+    stats  = calibrate(ir, folded, [batch1, batch2, ...])
+    qvars  = quantize(ir, folded, stats)
+    io, _  = apply_quantized(ir, qvars, xv, xl)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.ir import GraphIR
+from . import graph as G
+from . import layers as L
+
+
+def _quantizable(ir: GraphIR) -> set:
+    """Conv/dwconv/inception nodes to quantize; skip the head predictors."""
+    skip = {ir.nodes[yi - 1].index for yi in ir.yolo_indices}
+    out = set()
+    for n in ir.nodes:
+        if n.kind in ("conv", "dwconv", "inception") and n.index not in skip:
+            out.add(n.index)
+    return out
+
+
+# ------------------------------------------------------------------ calibrate
+
+def make_calibration_fn(ir: GraphIR, compute_dtype=jnp.bfloat16):
+    """Jitted fn(folded, xv, xl) -> {key: max|input|} for quantizable nodes.
+
+    Runs the BN-folded forward, recording the absolute max of every
+    quantizable conv's input (for dwconv: dw input and pw input; for
+    inception: the block input and each branch intermediate)."""
+    targets = _quantizable(ir)
+
+    def fn(folded, xv, xl=None):
+        params = folded["params"]
+        x = xv.astype(compute_dtype)
+        x2 = None if xl is None else xl.astype(compute_dtype)
+        cache, stats = {}, {}
+
+        def track(key, val):
+            stats[key] = jnp.max(jnp.abs(val.astype(jnp.float32)))
+
+        for node in ir.nodes:
+            key = f"l{node.index}"
+            p = params.get(key)
+            if node.kind == "conv":
+                inp = x2 if node.takes_second_input else x
+                if node.index in targets:
+                    track(key, inp)
+                y = L.conv2d(inp, p["w"], stride=node.stride, pad=node.pad,
+                             groups=node.groups)
+                x = L.activate(node.act, (y + p["b"]).astype(compute_dtype))
+            elif node.kind == "dwconv":
+                if node.index in targets:
+                    track(key + "/dw", x)
+                y = L.conv2d(x, p["dw"]["w"], stride=node.stride, pad=1,
+                             groups=node.in_ch)
+                y = L.activate("relu6", (y + p["dw"]["b"]).astype(compute_dtype))
+                if node.index in targets:
+                    track(key + "/pw", y)
+                y = L.conv2d(y, p["pw"]["w"])
+                x = L.activate("relu6", (y + p["pw"]["b"]).astype(compute_dtype))
+            elif node.kind == "inception":
+                if node.index in targets:
+                    track(key, x)
+                x = _inception_folded(x, p, compute_dtype,
+                                      track=partial(track, key))
+            elif node.kind == "se":
+                x = L.squeeze_excitation(x, p)
+            elif node.kind == "maxpool":
+                x = L.max_pool(x, node.kernel, node.stride, node.pad)
+            elif node.kind == "avgpool":
+                x = L.adaptive_avg_pool(x, node.out_size)
+            elif node.kind == "upsample":
+                x = L.upsample_nearest(x, node.scale)
+            elif node.kind == "route":
+                feats = [cache[j] for j in node.inputs]
+                x = feats[0] if len(feats) == 1 else jnp.concatenate(feats, -1)
+            elif node.kind == "shortcut":
+                x = L.weighted_fusion(x, [cache[j] for j in node.inputs],
+                                      p["w"] if node.weighted else None)
+            elif node.kind in ("dropout", "yolo"):
+                pass
+            if node.index in ir.consumed:
+                cache[node.index] = x
+        return stats
+
+    return jax.jit(fn)
+
+
+def _inception_folded(x, p, dtype, track=None):
+    def branch(inp, name, pad=0, t=None):
+        if t is not None:
+            t(f"/{name}", inp)
+        y = L.conv2d(inp, p[name]["w"], pad=pad)
+        return L.activate("leaky", (y + p[name]["b"]).astype(dtype))
+
+    t = track if track is not None else None
+    b1 = branch(x, "b1_1", t=t)
+    b2 = branch(branch(x, "b2_1", t=t), "b2_2", 1, t=t)
+    b3 = branch(branch(branch(x, "b3_1", t=t), "b3_2", 1, t=t), "b3_3", 1, t=t)
+    b4 = branch(L.max_pool(x, 3, (1, 1), 1), "b4_1", t=t)
+    return jnp.concatenate([b1, b2, b3, b4], -1)
+
+
+def calibrate(ir: GraphIR, folded: dict, batches, compute_dtype=jnp.bfloat16):
+    """Max-abs activation stats over calibration batches.
+    batches: iterable of (xv, xl-or-None). Returns {stat_key: float}."""
+    fn = make_calibration_fn(ir, compute_dtype)
+    acc: dict = {}
+    for xv, xl in batches:
+        stats = jax.device_get(fn(folded, xv, xl))
+        for k, v in stats.items():
+            acc[k] = max(acc.get(k, 0.0), float(v))
+    return acc
+
+
+# ------------------------------------------------------------------- quantize
+
+def _quant_weight(w):
+    """HWIO fp kernel -> (int8 kernel, per-out-channel scale)."""
+    sw = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+    sw = jnp.maximum(sw, 1e-12)
+    wq = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
+    return wq, sw.astype(jnp.float32)
+
+
+def _qconv_params(p, amax: float):
+    wq, sw = _quant_weight(p["w"])
+    sx = max(amax, 1e-12) / 127.0
+    return {"wq": wq, "scale": sw * sx, "inv_sx": np.float32(1.0 / sx),
+            "b": p["b"]}
+
+
+def quantize(ir: GraphIR, folded: dict, stats: dict) -> dict:
+    """BN-folded params + calibration stats -> quantized variables."""
+    params = folded["params"]
+    targets = _quantizable(ir)
+    q: dict = {}
+    for node in ir.nodes:
+        key = f"l{node.index}"
+        p = params.get(key)
+        if p is None:
+            continue
+        if node.index in targets and node.kind == "conv":
+            q[key] = {"q": _qconv_params(p, stats[key])}
+        elif node.index in targets and node.kind == "dwconv":
+            q[key] = {"q_dw": _qconv_params(p["dw"], stats[key + "/dw"]),
+                      "q_pw": _qconv_params(p["pw"], stats[key + "/pw"])}
+        elif node.index in targets and node.kind == "inception":
+            q[key] = {f"q_{name}": _qconv_params(
+                p[name], stats[key + f"/{name}"]) for name in p}
+        elif p is not None:
+            q[key] = {"fp": p}
+    return {"params": q}
+
+
+# ---------------------------------------------------------------------- apply
+
+def _qconv(x, qp, *, stride=(1, 1), pad=0, groups=1, act="linear",
+           out_dtype=jnp.bfloat16):
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * qp["inv_sx"]),
+                  -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, qp["wq"], window_strides=stride, padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups, preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * qp["scale"] + qp["b"]
+    return L.activate(act, y.astype(out_dtype))
+
+
+def apply_quantized(ir: GraphIR, qvars: dict, xv, xl=None, *,
+                    compute_dtype=jnp.bfloat16):
+    """int8 inference forward -> (decoded (bs, total, no) f32, raw heads)."""
+    params = qvars["params"]
+    x = xv.astype(compute_dtype)
+    x2 = None if xl is None else xl.astype(compute_dtype)
+    if ir.dual_stream and x2 is None:
+        raise ValueError("dual-stream graph requires the LWIR input xl")
+
+    cache, raw_heads, decoded = {}, [], []
+    for node in ir.nodes:
+        key = f"l{node.index}"
+        entry = params.get(key, {})
+        if node.kind == "conv":
+            inp = x2 if node.takes_second_input else x
+            if "q" in entry:
+                x = _qconv(inp, entry["q"], stride=node.stride, pad=node.pad,
+                           groups=node.groups, act=node.act,
+                           out_dtype=compute_dtype)
+            else:
+                p = entry["fp"]
+                y = L.conv2d(inp, p["w"], stride=node.stride, pad=node.pad,
+                             groups=node.groups)
+                x = L.activate(node.act, (y + p["b"]).astype(compute_dtype))
+        elif node.kind == "dwconv":
+            x = _qconv(x, entry["q_dw"], stride=node.stride, pad=1,
+                       groups=node.in_ch, act="relu6",
+                       out_dtype=compute_dtype)
+            x = _qconv(x, entry["q_pw"], act="relu6", out_dtype=compute_dtype)
+        elif node.kind == "inception":
+            def br(inp, name, pad=0):
+                return _qconv(inp, entry[f"q_{name}"], pad=pad, act="leaky",
+                              out_dtype=compute_dtype)
+            b1 = br(x, "b1_1")
+            b2 = br(br(x, "b2_1"), "b2_2", 1)
+            b3 = br(br(br(x, "b3_1"), "b3_2", 1), "b3_3", 1)
+            b4 = br(L.max_pool(x, 3, (1, 1), 1), "b4_1")
+            x = jnp.concatenate([b1, b2, b3, b4], -1)
+        elif node.kind == "se":
+            x = L.squeeze_excitation(x, entry["fp"])
+        elif node.kind == "maxpool":
+            x = L.max_pool(x, node.kernel, node.stride, node.pad)
+        elif node.kind == "avgpool":
+            x = L.adaptive_avg_pool(x, node.out_size)
+        elif node.kind == "upsample":
+            x = L.upsample_nearest(x, node.scale)
+        elif node.kind == "route":
+            feats = [cache[j] for j in node.inputs]
+            x = feats[0] if len(feats) == 1 else jnp.concatenate(feats, -1)
+        elif node.kind == "shortcut":
+            w = entry["fp"]["w"] if node.weighted else None
+            x = L.weighted_fusion(x, [cache[j] for j in node.inputs], w)
+        elif node.kind == "dropout":
+            pass
+        elif node.kind == "yolo":
+            na, no = len(node.anchors), node.nc + 5
+            raw = G.reshape_head(x, na, no)
+            raw_heads.append(raw)
+            decoded.append(G.decode_head(raw, node.anchors, node.yolo_stride,
+                                         node.bf_type))
+        if node.index in ir.consumed:
+            cache[node.index] = x
+
+    return jnp.concatenate(decoded, axis=1), raw_heads

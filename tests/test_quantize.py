@@ -1,0 +1,77 @@
+"""int8 PTQ: calibration coverage and quantized-vs-fp output agreement."""
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from double_yolo_kaist_tpu.config.ir import compile_cfg
+from double_yolo_kaist_tpu.models import graph
+from double_yolo_kaist_tpu.models import quantize as Q
+
+TINY = os.path.join(os.path.dirname(__file__), "fixtures", "tiny_dyolov3.cfg")
+
+
+def _setup():
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    folded = graph.fold_batchnorm(ir, variables)
+    rng = np.random.default_rng(0)
+    batches = [(jnp.asarray(rng.random((2, 64, 64, 3), np.float32)),
+                jnp.asarray(rng.random((2, 64, 64, 3), np.float32)))
+               for _ in range(2)]
+    return ir, folded, batches
+
+
+def test_calibration_covers_all_quantizable():
+    ir, folded, batches = _setup()
+    stats = Q.calibrate(ir, folded, batches, compute_dtype=jnp.float32)
+    targets = Q._quantizable(ir)
+    # head predictor convs (before each yolo) are excluded
+    preds = {ir.nodes[yi - 1].index for yi in ir.yolo_indices}
+    assert not (targets & preds)
+    for n in ir.nodes:
+        if n.index in targets and n.kind == "conv":
+            assert f"l{n.index}" in stats
+            assert stats[f"l{n.index}"] > 0
+
+
+def test_quantized_matches_fp():
+    ir, folded, batches = _setup()
+    stats = Q.calibrate(ir, folded, batches, compute_dtype=jnp.float32)
+    qvars = Q.quantize(ir, folded, stats)
+
+    xv, xl = batches[0]
+    io_fp, _ = graph.apply_folded(ir, folded, xv, xl,
+                                  compute_dtype=jnp.float32)
+    io_q, _ = Q.apply_quantized(ir, qvars, xv, xl,
+                                compute_dtype=jnp.float32)
+    fp = np.asarray(io_fp, np.float32)
+    q = np.asarray(io_q, np.float32)
+    assert fp.shape == q.shape
+
+    # confidences (bounded, accuracy-critical) must track closely
+    d_conf = np.abs(fp[..., 4] - q[..., 4])
+    assert d_conf.max() < 0.05, d_conf.max()
+    # box centers within ~a pixel at this 64px scale
+    d_xy = np.abs(fp[..., :2] - q[..., :2])
+    assert np.quantile(d_xy, 0.99) < 1.5, np.quantile(d_xy, 0.99)
+    # global agreement
+    cos = (fp.ravel() @ q.ravel()) / (
+        np.linalg.norm(fp) * np.linalg.norm(q) + 1e-9)
+    assert cos > 0.995, cos
+
+
+def test_int8_weights_really_int8():
+    ir, folded, batches = _setup()
+    stats = Q.calibrate(ir, folded, batches, compute_dtype=jnp.float32)
+    qvars = Q.quantize(ir, folded, stats)
+    n_q = 0
+    for key, entry in qvars["params"].items():
+        for sub in entry.values():
+            if isinstance(sub, dict) and "wq" in sub:
+                assert sub["wq"].dtype == jnp.int8
+                n_q += 1
+    assert n_q >= 8  # most convs of the tiny model are quantized
