@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--int8", action="store_true",
+                    help="post-training-quantized int8 inference path")
     args = ap.parse_args()
 
     ir = compile_cfg(cfg_path(args.model))
@@ -46,15 +48,27 @@ def main():
     jax.block_until_ready(folded)
     print(f"# init+fold {time.perf_counter() - t:.1f}s", file=sys.stderr, flush=True)
 
+    if args.int8:
+        from double_yolo_kaist_tpu.models import quantize as Q
+
+        rng0 = np.random.default_rng(1)
+        cal = jnp.asarray(rng0.random((8, args.height, args.width, 3),
+                                      np.float32), jnp.bfloat16)
+        stats = Q.calibrate(ir, folded, [(cal, cal)])
+        folded = jax.jit(lambda f: Q.quantize(ir, f, stats))(folded)
+        apply_fn = lambda p, a, b: Q.apply_quantized(  # noqa: E731
+            ir, p, a, b, compute_dtype=jnp.bfloat16)[0]
+    else:
+        apply_fn = lambda p, a, b: graph.apply_folded(  # noqa: E731
+            ir, p, a, b, compute_dtype=jnp.bfloat16)[0]
+
     # N forwards inside one jitted fori_loop, returning a scalar: through the
     # axon tunnel block_until_ready is a no-op and per-call dispatch costs
     # ~100ms, so honest timing = one device-side loop + one scalar fetch.
     # The carry feeds back into the input so XLA cannot hoist the body.
     def loop(params, xv, xl, n):
         def body(_, acc):
-            io, _raw = graph.apply_folded(
-                ir, params, xv + acc.astype(xv.dtype) * 0.0, xl,
-                compute_dtype=jnp.bfloat16)
+            io = apply_fn(params, xv + acc.astype(xv.dtype) * 0.0, xl)
             return jnp.sum(io[..., 4], dtype=jnp.float32)
         return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 

@@ -20,8 +20,6 @@ Flow:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,14 +29,16 @@ from . import graph as G
 from . import layers as L
 
 
-def _quantizable(ir: GraphIR) -> set:
-    """Conv/dwconv/inception nodes to quantize; skip the head predictors."""
+def _quantizable(ir: GraphIR, min_kernel: int = 3) -> set:
+    """Nodes worth quantizing: standard convs with kernel >= 3 (where the
+    FLOPs are). 1x1 convs, depthwise convs, and inception branches are
+    HBM-bandwidth-bound — the extra quant/dequant elementwise passes cost
+    more than the int8 MXU saving (measured end-to-end: blanket quantization
+    is SLOWER than bf16). Head predictor convs stay fp for accuracy."""
     skip = {ir.nodes[yi - 1].index for yi in ir.yolo_indices}
-    out = set()
-    for n in ir.nodes:
-        if n.kind in ("conv", "dwconv", "inception") and n.index not in skip:
-            out.add(n.index)
-    return out
+    return {n.index for n in ir.nodes
+            if n.kind == "conv" and n.groups == 1
+            and n.kernel >= min_kernel and n.index not in skip}
 
 
 # ------------------------------------------------------------------ calibrate
@@ -71,20 +71,13 @@ def make_calibration_fn(ir: GraphIR, compute_dtype=jnp.bfloat16):
                              groups=node.groups)
                 x = L.activate(node.act, (y + p["b"]).astype(compute_dtype))
             elif node.kind == "dwconv":
-                if node.index in targets:
-                    track(key + "/dw", x)
                 y = L.conv2d(x, p["dw"]["w"], stride=node.stride, pad=1,
                              groups=node.in_ch)
                 y = L.activate("relu6", (y + p["dw"]["b"]).astype(compute_dtype))
-                if node.index in targets:
-                    track(key + "/pw", y)
                 y = L.conv2d(y, p["pw"]["w"])
                 x = L.activate("relu6", (y + p["pw"]["b"]).astype(compute_dtype))
             elif node.kind == "inception":
-                if node.index in targets:
-                    track(key, x)
-                x = _inception_folded(x, p, compute_dtype,
-                                      track=partial(track, key))
+                x = _inception_folded(x, p, compute_dtype)
             elif node.kind == "se":
                 x = L.squeeze_excitation(x, p)
             elif node.kind == "maxpool":
@@ -164,13 +157,7 @@ def quantize(ir: GraphIR, folded: dict, stats: dict) -> dict:
             continue
         if node.index in targets and node.kind == "conv":
             q[key] = {"q": _qconv_params(p, stats[key])}
-        elif node.index in targets and node.kind == "dwconv":
-            q[key] = {"q_dw": _qconv_params(p["dw"], stats[key + "/dw"]),
-                      "q_pw": _qconv_params(p["pw"], stats[key + "/pw"])}
-        elif node.index in targets and node.kind == "inception":
-            q[key] = {f"q_{name}": _qconv_params(
-                p[name], stats[key + f"/{name}"]) for name in p}
-        elif p is not None:
+        else:
             q[key] = {"fp": p}
     return {"params": q}
 
@@ -179,14 +166,18 @@ def quantize(ir: GraphIR, folded: dict, stats: dict) -> dict:
 
 def _qconv(x, qp, *, stride=(1, 1), pad=0, groups=1, act="linear",
            out_dtype=jnp.bfloat16):
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * qp["inv_sx"]),
+    # quant/dequant elementwise math stays in the activation dtype (bf16):
+    # integers up to 256 are exact in bf16, so rounding adds at most ~0.5 LSB
+    # of extra quantization noise while halving the elementwise bandwidth
+    xq = jnp.clip(jnp.round(x * qp["inv_sx"].astype(x.dtype)),
                   -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
         xq, qp["wq"], window_strides=stride, padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups, preferred_element_type=jnp.int32)
-    y = y.astype(jnp.float32) * qp["scale"] + qp["b"]
-    return L.activate(act, y.astype(out_dtype))
+    y = (y.astype(out_dtype) * qp["scale"].astype(out_dtype)
+         + qp["b"].astype(out_dtype))
+    return L.activate(act, y)
 
 
 def apply_quantized(ir: GraphIR, qvars: dict, xv, xl=None, *,
@@ -214,19 +205,14 @@ def apply_quantized(ir: GraphIR, qvars: dict, xv, xl=None, *,
                              groups=node.groups)
                 x = L.activate(node.act, (y + p["b"]).astype(compute_dtype))
         elif node.kind == "dwconv":
-            x = _qconv(x, entry["q_dw"], stride=node.stride, pad=1,
-                       groups=node.in_ch, act="relu6",
-                       out_dtype=compute_dtype)
-            x = _qconv(x, entry["q_pw"], act="relu6", out_dtype=compute_dtype)
+            p = entry["fp"]
+            y = L.conv2d(x, p["dw"]["w"], stride=node.stride, pad=1,
+                         groups=node.in_ch)
+            y = L.activate("relu6", (y + p["dw"]["b"]).astype(compute_dtype))
+            y = L.conv2d(y, p["pw"]["w"])
+            x = L.activate("relu6", (y + p["pw"]["b"]).astype(compute_dtype))
         elif node.kind == "inception":
-            def br(inp, name, pad=0):
-                return _qconv(inp, entry[f"q_{name}"], pad=pad, act="leaky",
-                              out_dtype=compute_dtype)
-            b1 = br(x, "b1_1")
-            b2 = br(br(x, "b2_1"), "b2_2", 1)
-            b3 = br(br(br(x, "b3_1"), "b3_2", 1), "b3_3", 1)
-            b4 = br(L.max_pool(x, 3, (1, 1), 1), "b4_1")
-            x = jnp.concatenate([b1, b2, b3, b4], -1)
+            x = _inception_folded(x, entry["fp"], compute_dtype)
         elif node.kind == "se":
             x = L.squeeze_excitation(x, entry["fp"])
         elif node.kind == "maxpool":

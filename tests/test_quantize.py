@@ -74,4 +74,4 @@ def test_int8_weights_really_int8():
             if isinstance(sub, dict) and "wq" in sub:
                 assert sub["wq"].dtype == jnp.int8
                 n_q += 1
-    assert n_q >= 8  # most convs of the tiny model are quantized
+    assert n_q >= 6  # the tiny model's 3x3 convs are quantized
