@@ -33,6 +33,8 @@ def main(argv=None):
     p.add_argument("--conf-thres", type=float, default=0.01)
     p.add_argument("--iou-thres", type=float, default=0.6)
     p.add_argument("--fp32", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="selective post-training int8 inference")
     opt = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -46,7 +48,7 @@ def main(argv=None):
         ir, variables, ds, batch_size=opt.batch_size,
         conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
         compute_dtype=jnp.float32 if opt.fp32 else jnp.bfloat16,
-        progress=True)
+        int8=opt.int8, progress=True)
 
     print(summarize(res["coco_stats"]))
     print(f"VOC Average Precision (VOC-AP)@[IoU = 0.5] = {res['ap'] * 100:.2f}%")

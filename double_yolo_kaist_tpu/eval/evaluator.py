@@ -38,10 +38,33 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
                      conf_thres: float = 0.01, iou_thres: float = 0.6,
                      multi_label: bool = False, compute_dtype=jnp.bfloat16,
                      folded: bool = True, max_det: int = 100,
-                     progress: bool = False):
+                     progress: bool = False, int8: bool = False,
+                     calibration_batches: int = 2):
     """Run the full eval loop. Returns dict with coco stats (12,), ap, lamr,
-    fps, curves, and per-image predictions."""
-    if folded:
+    fps, curves, and per-image predictions. ``int8``: selective PTQ inference
+    calibrated on the first ``calibration_batches`` eval batches."""
+    if int8:
+        from ..models import quantize as Q
+
+        fold = jax.jit(lambda v: graph.fold_batchnorm(ir, v))
+        fvars = fold(variables)
+        cal = []
+        for v, l, idx, _ in eval_batches(dataset, batch_size):
+            cal.append((v, l))
+            if len(cal) >= calibration_batches:
+                break
+        stats = Q.calibrate(ir, fvars, cal, compute_dtype=compute_dtype)
+        run_vars = jax.jit(lambda f: Q.quantize(ir, f, stats))(fvars)
+
+        @jax.jit
+        def infer(params, xv, xl):
+            io, _ = Q.apply_quantized(ir, params, xv, xl,
+                                      compute_dtype=compute_dtype)
+            return NMS.non_max_suppression(
+                io.astype(jnp.float32), conf_thres=conf_thres,
+                iou_thres=iou_thres, multi_label=multi_label,
+                max_det=max_det)
+    elif folded:
         fold = jax.jit(lambda v: graph.fold_batchnorm(ir, v))
         run_vars = fold(variables)
 
