@@ -114,13 +114,19 @@ def compile_cfg(path: str,
     utils.py:252).
     """
     net, blocks = parse_model_cfg(path)
-    name = os.path.basename(path)
     if yolo_strides is None:
         v3_style = any(s in path for s in ("yolov-tiny", "fpn", "yolov3"))
         yolo_strides = _V3_STRIDES if v3_style else _V4_STRIDES
     if bf_type is None:
         bf_type = "yolov4" if "yolov4" in path else "yolov3"
+    return compile_blocks(net, blocks, yolo_strides, bf_type, path)
 
+
+def compile_blocks(net: dict, blocks: list, yolo_strides: list,
+                   bf_type: str, path: str = "<generated>") -> GraphIR:
+    """Compile cfg-dialect block dicts into a :class:`GraphIR` — shared by
+    the .cfg loader and the programmatic model builder (models/builder.py)."""
+    name = os.path.basename(path)
     second_index = net.get("second_index")
     out_filters = [3]
     nodes: list[Node] = []

@@ -1,0 +1,203 @@
+"""Programmatic model builder: construct the Double-YOLO architectures in
+code, without .cfg files.
+
+The declarative ``.cfg`` zoo remains fully supported (config/ir.compile_cfg);
+this module is the cfg-free API for the same architectures, emitting
+cfg-dialect block dicts that compile through the exact same IR path
+(config/ir.compile_blocks), so both routes share one source of truth for
+channel bookkeeping. Built graphs are validated layer-for-layer against the
+reference golden fixture in tests/test_builder.py.
+
+Covered (so far): Darknet53 backbone, YOLOv3 SPP+FPN heads, single-stream
+Visible-YOLOv3, and dual-stream Double-YOLOv3 with Add-SL / Add-Simple
+fusion (reference config/kaist_yolov3.cfg, kaist_dyolov3_add_sl.cfg,
+kaist_dyolov3_add_simple.cfg).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config.ir import GraphIR, compile_blocks
+
+# KAIST GA-clustered anchors (reference cfg data). Order: small -> large,
+# heads consume masks [6,7,8] (stride 32), [3,4,5] (16), [0,1,2] (8).
+KAIST_ANCHORS_V3_SINGLE = [16, 33, 18, 37, 19, 47, 23, 42, 20, 51, 28, 66,
+                           37, 86, 45, 104, 58, 140]
+KAIST_ANCHORS_V3_DOUBLE = [16, 42, 22, 44, 20, 53, 29, 53, 26, 64, 29, 85,
+                           34, 75, 41, 104, 59, 147]
+
+
+class NetBuilder:
+    """Accumulates cfg-dialect layer blocks with index bookkeeping."""
+
+    def __init__(self, width: int = 512, height: int = 512):
+        self.net = {"width": width, "height": height, "channels": 3}
+        self.blocks: list[dict] = []
+
+    @property
+    def last(self) -> int:
+        return len(self.blocks) - 1
+
+    def _add(self, block: dict) -> int:
+        self.blocks.append(block)
+        return self.last
+
+    def conv(self, filters: int, size: int = 3, stride: int = 1,
+             act: str = "leaky", bn: bool = True) -> int:
+        return self._add({"type": "convolutional",
+                          "batch_normalize": int(bn), "filters": filters,
+                          "size": size, "stride": stride, "pad": 1,
+                          "activation": act})
+
+    def shortcut(self, frm: int, weighted: bool = False) -> int:
+        b = {"type": "shortcut", "from": [frm], "activation": "linear"}
+        if weighted:
+            b["weights_type"] = 1.0
+        return self._add(b)
+
+    def route(self, *layers: int) -> int:
+        return self._add({"type": "route", "layers": list(layers)})
+
+    def maxpool(self, size: int, stride: int = 1) -> int:
+        return self._add({"type": "maxpool", "size": size, "stride": stride})
+
+    def upsample(self, stride: int = 2) -> int:
+        return self._add({"type": "upsample", "stride": stride})
+
+    def yolo(self, anchors: list, mask: list, nc: int) -> int:
+        na = len(mask)
+        self.conv(na * (nc + 5), size=1, act="linear", bn=False)
+        return self._add({"type": "yolo",
+                          "anchors": np.asarray(anchors, np.float32)
+                          .reshape(-1, 2),
+                          "mask": list(mask), "classes": nc,
+                          "num": len(anchors) // 2})
+
+    def compile(self, yolo_strides, bf_type: str, name: str) -> GraphIR:
+        return compile_blocks(self.net, self.blocks, yolo_strides, bf_type,
+                              path=name)
+
+
+# ------------------------------------------------------------------ backbones
+
+def darknet53(b: NetBuilder):
+    """Darknet53 (reference kaist_yolov3.cfg layers 0-74).
+    Returns the /8, /16, /32 feature indices."""
+    b.conv(32)
+    taps = {}
+    for stage, (ch, n_blocks) in enumerate(
+            [(64, 1), (128, 2), (256, 8), (512, 8), (1024, 4)]):
+        b.conv(ch, stride=2)
+        for _ in range(n_blocks):
+            b.conv(ch // 2, size=1)
+            b.conv(ch)
+            b.shortcut(-3)
+        if ch in (256, 512, 1024):
+            taps[ch] = b.last
+    return taps[256], taps[512], taps[1024]   # /8, /16, /32
+
+
+# ---------------------------------------------------------------------- heads
+
+def _spp(b: NetBuilder):
+    """SPP block: maxpools k=5,9,13 over the same input, concat
+    (reference kaist_yolov3.cfg layers 78-83)."""
+    pre = b.last
+    b.maxpool(5)
+    b.route(pre)
+    b.maxpool(9)
+    b.route(pre)
+    b.maxpool(13)
+    b.route(b.last, b.last - 2, b.last - 4, pre)
+
+
+def yolov3_spp_fpn_head(b: NetBuilder, f8: int, f16: int, f32: int,
+                        anchors: list, nc: int):
+    """YOLOv3 SPP + FPN decode head over /8, /16, /32 features
+    (reference kaist_yolov3.cfg layers 75-113)."""
+    # scale 1 (/32)
+    if b.last != f32:
+        b.route(f32)
+    b.conv(512, 1)
+    b.conv(1024)
+    b.conv(512, 1)
+    _spp(b)
+    b.conv(512, 1)
+    b.conv(1024)
+    tap1 = b.conv(512, 1)
+    b.conv(1024)
+    b.yolo(anchors, [6, 7, 8], nc)
+
+    # scale 2 (/16)
+    b.route(tap1)
+    b.conv(256, 1)
+    b.upsample()
+    b.route(b.last, f16)
+    b.conv(256, 1)
+    b.conv(512)
+    b.conv(256, 1)
+    b.conv(512)
+    tap2 = b.conv(256, 1)
+    b.conv(512)
+    b.yolo(anchors, [3, 4, 5], nc)
+
+    # scale 3 (/8)
+    b.route(tap2)
+    b.conv(128, 1)
+    b.upsample()
+    b.route(b.last, f8)
+    b.conv(128, 1)
+    b.conv(256)
+    b.conv(128, 1)
+    b.conv(256)
+    b.conv(128, 1)
+    b.conv(256)
+    b.yolo(anchors, [0, 1, 2], nc)
+
+
+# --------------------------------------------------------------------- models
+
+def build_yolov3(nc: int = 1, anchors=None, img_size: int = 512) -> GraphIR:
+    """Single-stream Visible-YOLOv3 (reference kaist_yolov3.cfg)."""
+    anchors = anchors or KAIST_ANCHORS_V3_SINGLE
+    b = NetBuilder(img_size, img_size)
+    f8, f16, f32 = darknet53(b)
+    yolov3_spp_fpn_head(b, f8, f16, f32, anchors, nc)
+    return b.compile([32, 16, 8], "yolov3", "built_yolov3")
+
+
+def build_double_yolov3_add(nc: int = 1, anchors=None, img_size: int = 512,
+                            learned_weights: bool = True) -> GraphIR:
+    """Dual-stream Double-YOLOv3 with additive fusion at the three scales.
+    ``learned_weights=True`` -> Add-SL (sigmoid-weighted blend, reference
+    kaist_dyolov3_add_sl.cfg); False -> Add-Simple."""
+    anchors = anchors or KAIST_ANCHORS_V3_DOUBLE
+    b = NetBuilder(img_size, img_size)
+    v8, v16, v32 = darknet53(b)                 # visible stream, 0..74
+    b.net["second_index"] = b.last + 1
+    l8, l16, l32 = darknet53(b)                 # lwir stream, 75..149
+
+    # additive fusion per scale: route to the L feature, (weighted) add of
+    # the V feature, then a conv — 3x3 for Add-SL, 1x1 for Add-Simple
+    # (reference kaist_dyolov3_add_sl.cfg:1080-1125 / kaist_dyolov3_add_simple)
+    k = 3 if learned_weights else 1
+    fused = []
+    for vf, lf, ch in ((v8, l8, 256), (v16, l16, 512), (v32, l32, 1024)):
+        b.route(lf)
+        b.shortcut(vf, weighted=learned_weights)
+        fused.append(b.conv(ch, size=k))
+    f8, f16, f32 = fused
+
+    yolov3_spp_fpn_head(b, f8, f16, f32, anchors, nc)
+    return b.compile([32, 16, 8], "yolov3",
+                     "built_dyolov3_add_sl" if learned_weights
+                     else "built_dyolov3_add_simple")
+
+
+BUILDERS = {
+    "Visible-YOLOv3-Normal": build_yolov3,
+    "Double-YOLOv3-Add-SL": build_double_yolov3_add,
+    "Double-YOLOv3-Add-Simple":
+        lambda **kw: build_double_yolov3_add(learned_weights=False, **kw),
+}
