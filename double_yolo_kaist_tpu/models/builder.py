@@ -65,6 +65,18 @@ class NetBuilder:
     def upsample(self, stride: int = 2) -> int:
         return self._add({"type": "upsample", "stride": stride})
 
+    def se(self, squeeze_factor: int = 4) -> int:
+        return self._add({"type": "se", "squeeze_factor": squeeze_factor})
+
+    def inception(self, ch: int) -> int:
+        """GoogLeNet block with the reference's width schedule: branches
+        (C/4, 3C/8 | 3C/16 x3) summing back to C (kaist_dyolov3_concat_seinc
+        inception blocks)."""
+        return self._add({"type": "inception", "n1x1": ch // 4,
+                          "n3x3_reduce": 3 * ch // 8, "n3x3": 3 * ch // 8,
+                          "n5x5_reduce": 3 * ch // 16, "n5x5": 3 * ch // 16,
+                          "pool_proj": 3 * ch // 16})
+
     def yolo(self, anchors: list, mask: list, nc: int) -> int:
         na = len(mask)
         self.conv(na * (nc + 5), size=1, act="linear", bn=False)
@@ -195,9 +207,44 @@ def build_double_yolov3_add(nc: int = 1, anchors=None, img_size: int = 512,
                      else "built_dyolov3_add_simple")
 
 
+def build_double_yolov3_concat(nc: int = 1, anchors=None,
+                               img_size: int = 512, se: bool = False,
+                               inception: bool = False) -> GraphIR:
+    """Dual-stream Double-YOLOv3 with channel-concat fusion per scale:
+    route([V, L]) -> 3x3 conv -> [inception] -> [SE]
+    (reference kaist_dyolov3_concat{,_se,_seinc}.cfg)."""
+    anchors = anchors or KAIST_ANCHORS_V3_DOUBLE
+    b = NetBuilder(img_size, img_size)
+    v8, v16, v32 = darknet53(b)
+    b.net["second_index"] = b.last + 1
+    l8, l16, l32 = darknet53(b)
+
+    fused = []
+    for vf, lf, ch in ((v8, l8, 256), (v16, l16, 512), (v32, l32, 1024)):
+        b.route(vf, lf)
+        b.conv(ch)
+        if inception:
+            b.inception(ch)
+        if se:
+            b.se(4)
+        fused.append(b.last)
+    f8, f16, f32 = fused
+
+    yolov3_spp_fpn_head(b, f8, f16, f32, anchors, nc)
+    tag = "cse" if (se and not inception) else \
+        ("seinc" if (se and inception) else
+         ("inc" if inception else "concat"))
+    return b.compile([32, 16, 8], "yolov3", f"built_dyolov3_{tag}")
+
+
 BUILDERS = {
     "Visible-YOLOv3-Normal": build_yolov3,
     "Double-YOLOv3-Add-SL": build_double_yolov3_add,
     "Double-YOLOv3-Add-Simple":
         lambda **kw: build_double_yolov3_add(learned_weights=False, **kw),
+    "Double-YOLOv3-Concat": build_double_yolov3_concat,
+    "Double-YOLOv3-CSE":
+        lambda **kw: build_double_yolov3_concat(se=True, **kw),
+    "Double-YOLOv3-Concat-Inception-SE":
+        lambda **kw: build_double_yolov3_concat(se=True, inception=True, **kw),
 }

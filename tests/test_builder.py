@@ -26,6 +26,11 @@ CASES = [
     (B.build_double_yolov3_add, "kaist_dyolov3_add_sl.cfg"),
     (lambda: B.build_double_yolov3_add(learned_weights=False),
      "kaist_dyolov3_add_simple.cfg"),
+    (B.build_double_yolov3_concat, "kaist_dyolov3_concat.cfg"),
+    (lambda: B.build_double_yolov3_concat(se=True),
+     "kaist_dyolov3_concat_se.cfg"),
+    (lambda: B.build_double_yolov3_concat(se=True, inception=True),
+     "kaist_dyolov3_concat_seinc.cfg"),
 ]
 
 
