@@ -8,10 +8,13 @@ cfg-dialect block dicts that compile through the exact same IR path
 channel bookkeeping. Built graphs are validated layer-for-layer against the
 reference golden fixture in tests/test_builder.py.
 
-Covered (so far): Darknet53 backbone, YOLOv3 SPP+FPN heads, single-stream
-Visible-YOLOv3, and dual-stream Double-YOLOv3 with Add-SL / Add-Simple
-fusion (reference config/kaist_yolov3.cfg, kaist_dyolov3_add_sl.cfg,
-kaist_dyolov3_add_simple.cfg).
+Covered (so far, all fixture-exact): Darknet53 backbone, YOLOv3 SPP+FPN
+heads, single-stream Visible-YOLOv3, and dual-stream Double-YOLOv3 with
+Add-SL / Add-Simple / Concat / Concat-SE / Concat-Inception-SE / FSNet
+Global-Fshare-CSE3 fusion (reference kaist_yolov3.cfg and
+kaist_dyolov3_{add_sl,add_simple,concat,concat_se,concat_seinc,
+fshare_global_concat_se3}.cfg). YOLOv4/CSP and MobileNet families still load
+via .cfg only.
 """
 
 from __future__ import annotations
@@ -93,20 +96,23 @@ class NetBuilder:
 
 # ------------------------------------------------------------------ backbones
 
+def darknet_stage(b: NetBuilder, ch: int, n_blocks: int) -> int:
+    """One Darknet53 stage: stride-2 conv + n residual blocks."""
+    b.conv(ch, stride=2)
+    for _ in range(n_blocks):
+        b.conv(ch // 2, size=1)
+        b.conv(ch)
+        b.shortcut(-3)
+    return b.last
+
+
 def darknet53(b: NetBuilder):
     """Darknet53 (reference kaist_yolov3.cfg layers 0-74).
     Returns the /8, /16, /32 feature indices."""
     b.conv(32)
     taps = {}
-    for stage, (ch, n_blocks) in enumerate(
-            [(64, 1), (128, 2), (256, 8), (512, 8), (1024, 4)]):
-        b.conv(ch, stride=2)
-        for _ in range(n_blocks):
-            b.conv(ch // 2, size=1)
-            b.conv(ch)
-            b.shortcut(-3)
-        if ch in (256, 512, 1024):
-            taps[ch] = b.last
+    for ch, n_blocks in [(64, 1), (128, 2), (256, 8), (512, 8), (1024, 4)]:
+        taps[ch] = darknet_stage(b, ch, n_blocks)
     return taps[256], taps[512], taps[1024]   # /8, /16, /32
 
 
@@ -237,6 +243,54 @@ def build_double_yolov3_concat(nc: int = 1, anchors=None,
     return b.compile([32, 16, 8], "yolov3", f"built_dyolov3_{tag}")
 
 
+def build_double_yolov3_global_fshare_cse3(nc: int = 1, anchors=None,
+                                           img_size: int = 512) -> GraphIR:
+    """Double-YOLOv3 Global-Fshare-CSE3 (reference
+    kaist_dyolov3_fshare_global_concat_se3.cfg): the two streams run the
+    darknet stages in alternation with FSNet-style "global feature sharing" —
+    after each deep stage, concat both streams -> 3x3 conv -> SE, then blend
+    the shared feature back into EACH stream with a learned weighted shortcut
+    before its next stage; the FPN consumes the shared SE features."""
+    anchors = anchors or KAIST_ANCHORS_V3_DOUBLE
+    b = NetBuilder(img_size, img_size)
+
+    def stem(bb):
+        bb.conv(32)
+        darknet_stage(bb, 64, 1)
+        darknet_stage(bb, 128, 2)
+        return darknet_stage(bb, 256, 8)
+
+    v8 = stem(b)                              # 0..36
+    b.net["second_index"] = b.last + 1
+    l8 = stem(b)                              # 37..73
+
+    def fuse(vf, lf, ch, reinject_v=True):
+        b.route(vf, lf)
+        b.conv(ch)
+        shared = b.se(4)
+        if reinject_v:
+            b.shortcut(vf, weighted=True)     # fused -> V stream
+        return shared
+
+    f8 = fuse(v8, l8, 256)                    # 74..77
+    v16 = darknet_stage(b, 512, 8)            # V stage 4 -> 102
+    b.route(f8)
+    b.shortcut(l8, weighted=True)             # fused -> L stream
+    l16 = darknet_stage(b, 512, 8)            # L stage 4 -> 129
+
+    f16 = fuse(v16, l16, 512)                 # 130..133
+    v32 = darknet_stage(b, 1024, 4)           # -> 146
+    b.route(f16)
+    b.shortcut(l16, weighted=True)
+    l32 = darknet_stage(b, 1024, 4)           # -> 161
+
+    fuse(v32, l32, 1024, reinject_v=False)    # 162..164, ends at SE
+    f32 = b.last
+
+    yolov3_spp_fpn_head(b, f8, f16, f32, anchors, nc)
+    return b.compile([32, 16, 8], "yolov3", "built_dyolov3_gf_cse3")
+
+
 BUILDERS = {
     "Visible-YOLOv3-Normal": build_yolov3,
     "Double-YOLOv3-Add-SL": build_double_yolov3_add,
@@ -247,4 +301,5 @@ BUILDERS = {
         lambda **kw: build_double_yolov3_concat(se=True, **kw),
     "Double-YOLOv3-Concat-Inception-SE":
         lambda **kw: build_double_yolov3_concat(se=True, inception=True, **kw),
+    "Double-YOLOv3-Global-Fshare-CSE3": build_double_yolov3_global_fshare_cse3,
 }

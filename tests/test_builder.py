@@ -31,6 +31,8 @@ CASES = [
      "kaist_dyolov3_concat_se.cfg"),
     (lambda: B.build_double_yolov3_concat(se=True, inception=True),
      "kaist_dyolov3_concat_seinc.cfg"),
+    (B.build_double_yolov3_global_fshare_cse3,
+     "kaist_dyolov3_fshare_global_concat_se3.cfg"),
 ]
 
 
