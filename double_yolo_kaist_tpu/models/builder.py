@@ -8,13 +8,12 @@ cfg-dialect block dicts that compile through the exact same IR path
 channel bookkeeping. Built graphs are validated layer-for-layer against the
 reference golden fixture in tests/test_builder.py.
 
-Covered (so far, all fixture-exact): Darknet53 backbone, YOLOv3 SPP+FPN
-heads, single-stream Visible-YOLOv3, and dual-stream Double-YOLOv3 with
-Add-SL / Add-Simple / Concat / Concat-SE / Concat-Inception-SE / FSNet
-Global-Fshare-CSE3 fusion (reference kaist_yolov3.cfg and
-kaist_dyolov3_{add_sl,add_simple,concat,concat_se,concat_seinc,
-fshare_global_concat_se3}.cfg). YOLOv4/CSP and MobileNet families still load
-via .cfg only.
+Covered (so far, all fixture-exact): Darknet53 and CSPDarknet53 backbones,
+YOLOv3 SPP+FPN and YOLOv4 SPP+PANet heads, and eleven models: Visible-YOLOv3,
+Double-YOLOv3 {Add-SL, Add-Simple, Concat, Concat-SE, Concat-Inception-SE,
+Global-Fshare-CSE3}, Visible-YOLOv4, and Double-YOLOv4 {Add-SL, CSE,
+Fshare-Global-CSE3 (the reference's best model)}. MobileNet families and the
+remaining fshare variants still load via .cfg only.
 """
 
 from __future__ import annotations
@@ -116,6 +115,39 @@ def darknet53(b: NetBuilder):
     return taps[256], taps[512], taps[1024]   # /8, /16, /32
 
 
+def csp_stage(b: NetBuilder, ch: int, n_blocks: int,
+              first: bool = False) -> int:
+    """One CSPDarknet53 stage (reference kaist_yolov4.cfg): stride-2 conv,
+    cross-stage split (two 1x1 branches), n residual blocks on one branch,
+    branch concat, 1x1 transition. The first stage keeps full-width branches.
+    All convs mish."""
+    half = ch if first else ch // 2
+    hidden = ch // 2 if first else half
+    down = b.conv(ch, stride=2, act="mish")
+    split_a = b.conv(half, 1, act="mish")
+    b.route(down)
+    b.conv(half, 1, act="mish")
+    for _ in range(n_blocks):
+        b.conv(hidden, 1, act="mish")
+        b.conv(half, act="mish")
+        b.shortcut(-3)
+    split_b = b.conv(half, 1, act="mish")
+    b.route(split_b, split_a)
+    return b.conv(ch if not first else ch, 1, act="mish")
+
+
+def cspdarknet53(b: NetBuilder):
+    """CSPDarknet53 (reference kaist_yolov4.cfg layers 0-104).
+    Returns the /8, /16, /32 feature indices."""
+    b.conv(32, act="mish")
+    csp_stage(b, 64, 1, first=True)
+    csp_stage(b, 128, 2)
+    f8 = csp_stage(b, 256, 8)
+    f16 = csp_stage(b, 512, 8)
+    f32 = csp_stage(b, 1024, 4)
+    return f8, f16, f32
+
+
 # ---------------------------------------------------------------------- heads
 
 def _spp(b: NetBuilder):
@@ -172,6 +204,89 @@ def yolov3_spp_fpn_head(b: NetBuilder, f8: int, f16: int, f32: int,
     b.conv(128, 1)
     b.conv(256)
     b.yolo(anchors, [0, 1, 2], nc)
+
+
+def yolov4_spp_panet_head(b: NetBuilder, f8: int, f16: int, f32: int,
+                          anchors: list, nc: int):
+    """YOLOv4 SPP + PANet head (reference kaist_yolov4.cfg layers 105-161):
+    top-down FPN with lateral 1x1s, then bottom-up path aggregation; heads
+    fire small->large (strides 8, 16, 32). Leaky activations."""
+    # P5: SPP block over the /32 feature
+    if b.last != f32:
+        b.route(f32)
+    b.conv(512, 1)
+    b.conv(1024)
+    b.conv(512, 1)
+    _spp(b)
+    b.conv(512, 1)
+    b.conv(1024)
+    p5 = b.conv(512, 1)
+
+    # top-down to /16
+    b.conv(256, 1)
+    up16 = b.upsample()
+    b.route(f16)
+    lat16 = b.conv(256, 1)
+    b.route(lat16, up16)
+    b.conv(256, 1)
+    b.conv(512)
+    b.conv(256, 1)
+    b.conv(512)
+    p4 = b.conv(256, 1)
+
+    # top-down to /8
+    b.conv(128, 1)
+    up8 = b.upsample()
+    b.route(f8)
+    lat8 = b.conv(128, 1)
+    b.route(lat8, up8)
+    b.conv(128, 1)
+    b.conv(256)
+    b.conv(128, 1)
+    b.conv(256)
+    p3 = b.conv(128, 1)
+
+    # head /8
+    b.conv(256)
+    b.yolo(anchors, [0, 1, 2], nc)
+
+    # bottom-up /8 -> /16
+    b.route(p3)
+    b.conv(256, stride=2)
+    b.route(b.last, p4)
+    b.conv(256, 1)
+    b.conv(512)
+    b.conv(256, 1)
+    b.conv(512)
+    n4 = b.conv(256, 1)
+    b.conv(512)
+    b.yolo(anchors, [3, 4, 5], nc)
+
+    # bottom-up /16 -> /32
+    b.route(n4)
+    b.conv(512, stride=2)
+    b.route(b.last, p5)
+    b.conv(512, 1)
+    b.conv(1024)
+    b.conv(512, 1)
+    b.conv(1024)
+    b.conv(512, 1)
+    b.conv(1024)
+    b.yolo(anchors, [6, 7, 8], nc)
+
+
+KAIST_ANCHORS_V4_SINGLE = [16, 32, 18, 42, 22, 44, 22, 55, 30, 58, 27, 65,
+                           34, 80, 43, 102, 62, 153]
+
+
+def build_yolov4(nc: int = 1, anchors=None, img_size: int = 512) -> GraphIR:
+    """Single-stream Visible-YOLOv4: CSPDarknet53 + SPP + PANet
+    (reference kaist_yolov4.cfg)."""
+    anchors = anchors or KAIST_ANCHORS_V4_SINGLE
+    b = NetBuilder(img_size, img_size)
+    f8, f16, f32 = cspdarknet53(b)
+    yolov4_spp_panet_head(b, f8, f16, f32, anchors, nc)
+    return b.compile([8, 16, 32], "yolov4", "built_yolov4")
 
 
 # --------------------------------------------------------------------- models
@@ -291,6 +406,83 @@ def build_double_yolov3_global_fshare_cse3(nc: int = 1, anchors=None,
     return b.compile([32, 16, 8], "yolov3", "built_dyolov3_gf_cse3")
 
 
+def build_double_yolov4(nc: int = 1, anchors=None, img_size: int = 512,
+                        fusion: str = "add_sl") -> GraphIR:
+    """Dual-stream Double-YOLOv4 (CSPDarknet53 x2 + SPP/PANet) with
+    per-scale fusion: 'add_sl' (weighted additive, reference
+    kaist_dyolov4_add_sl.cfg) or 'cse' (concat + 3x3 conv + SE,
+    kaist_dyolov4_concat_se.cfg)."""
+    anchors = anchors or KAIST_ANCHORS_V4_SINGLE
+    b = NetBuilder(img_size, img_size)
+    v8, v16, v32 = cspdarknet53(b)              # 0..104
+    b.net["second_index"] = b.last + 1
+    l8, l16, l32 = cspdarknet53(b)              # 105..209
+
+    fused = []
+    for vf, lf, ch in ((v8, l8, 256), (v16, l16, 512), (v32, l32, 1024)):
+        if fusion == "add_sl":
+            b.route(lf)
+            b.shortcut(vf, weighted=True)
+            fused.append(b.conv(ch))
+        elif fusion == "cse":
+            b.route(vf, lf)
+            b.conv(ch)
+            fused.append(b.se(4))
+        else:
+            raise ValueError(f"unknown fusion '{fusion}'")
+    f8, f16, f32 = fused
+
+    yolov4_spp_panet_head(b, f8, f16, f32, anchors, nc)
+    return b.compile([8, 16, 32], "yolov4", f"built_dyolov4_{fusion}")
+
+
+def build_double_yolov4_global_fshare_cse3(nc: int = 1, anchors=None,
+                                           img_size: int = 512) -> GraphIR:
+    """Double-YOLOv4 Fshare-Global-CSE3 — the reference's best model
+    (kaist_dyolov4_fshare_global_concat_se3.cfg, README.md:132): CSP streams
+    alternate per stage with FSNet global feature sharing (concat -> 3x3 conv
+    -> SE, reinjected into both streams by learned weighted shortcuts),
+    SPP + PANet head on the shared features."""
+    anchors = anchors or KAIST_ANCHORS_V4_SINGLE
+    b = NetBuilder(img_size, img_size)
+
+    def stem(bb):
+        bb.conv(32, act="mish")
+        csp_stage(bb, 64, 1, first=True)
+        csp_stage(bb, 128, 2)
+        return csp_stage(bb, 256, 8)
+
+    v8 = stem(b)                                 # 0..54
+    b.net["second_index"] = b.last + 1
+    l8 = stem(b)                                 # 55..109
+
+    def fuse(vf, lf, ch, reinject_v=True):
+        b.route(vf, lf)
+        b.conv(ch)
+        shared = b.se(4)
+        if reinject_v:
+            b.shortcut(vf, weighted=True)
+        return shared
+
+    f8 = fuse(v8, l8, 256)
+    v16 = csp_stage(b, 512, 8)
+    b.route(f8)
+    b.shortcut(l8, weighted=True)
+    l16 = csp_stage(b, 512, 8)
+
+    f16 = fuse(v16, l16, 512)
+    v32 = csp_stage(b, 1024, 4)
+    b.route(f16)
+    b.shortcut(l16, weighted=True)
+    l32 = csp_stage(b, 1024, 4)
+
+    fuse(v32, l32, 1024, reinject_v=False)
+    f32 = b.last
+
+    yolov4_spp_panet_head(b, f8, f16, f32, anchors, nc)
+    return b.compile([8, 16, 32], "yolov4", "built_dyolov4_gf_cse3")
+
+
 BUILDERS = {
     "Visible-YOLOv3-Normal": build_yolov3,
     "Double-YOLOv3-Add-SL": build_double_yolov3_add,
@@ -302,4 +494,8 @@ BUILDERS = {
     "Double-YOLOv3-Concat-Inception-SE":
         lambda **kw: build_double_yolov3_concat(se=True, inception=True, **kw),
     "Double-YOLOv3-Global-Fshare-CSE3": build_double_yolov3_global_fshare_cse3,
+    "Visible-YOLOv4-Normal": build_yolov4,
+    "Double-YOLOv4-Add-SL": build_double_yolov4,
+    "Double-YOLOv4-CSE": lambda **kw: build_double_yolov4(fusion="cse", **kw),
+    "Double-YOLOv4-Fshare-Global-CSE3": build_double_yolov4_global_fshare_cse3,
 }

@@ -33,6 +33,12 @@ CASES = [
      "kaist_dyolov3_concat_seinc.cfg"),
     (B.build_double_yolov3_global_fshare_cse3,
      "kaist_dyolov3_fshare_global_concat_se3.cfg"),
+    (B.build_yolov4, "kaist_yolov4.cfg"),
+    (B.build_double_yolov4, "kaist_dyolov4_add_sl.cfg"),
+    (lambda: B.build_double_yolov4(fusion="cse"),
+     "kaist_dyolov4_concat_se.cfg"),
+    (B.build_double_yolov4_global_fshare_cse3,
+     "kaist_dyolov4_fshare_global_concat_se3.cfg"),
 ]
 
 
