@@ -8,12 +8,14 @@ cfg-dialect block dicts that compile through the exact same IR path
 channel bookkeeping. Built graphs are validated layer-for-layer against the
 reference golden fixture in tests/test_builder.py.
 
-Covered (so far, all fixture-exact): Darknet53 and CSPDarknet53 backbones,
-YOLOv3 SPP+FPN and YOLOv4 SPP+PANet heads, and eleven models: Visible-YOLOv3,
+Covered (all fixture-exact): Darknet53 / CSPDarknet53 / MobileNetV2 /
+MobileNetV3-large backbones, YOLOv3 SPP+FPN, YOLOv4 SPP+PANet and the
+lightweight depthwise PANet heads, and fifteen models: Visible-YOLOv3,
 Double-YOLOv3 {Add-SL, Add-Simple, Concat, Concat-SE, Concat-Inception-SE,
-Global-Fshare-CSE3}, Visible-YOLOv4, and Double-YOLOv4 {Add-SL, CSE,
-Fshare-Global-CSE3 (the reference's best model)}. MobileNet families and the
-remaining fshare variants still load via .cfg only.
+Global-Fshare-CSE3}, Visible-YOLOv4{, -MobileNetv2, -MobileNetv3}, and
+Double-YOLOv4 {Add-SL, CSE, Fshare-Global-CSE3 (the reference's best model),
+MNv2/MNv3-Fshare-Global-CSE3}. The three remaining v3 fshare variants load
+via .cfg only.
 """
 
 from __future__ import annotations
@@ -46,11 +48,19 @@ class NetBuilder:
         return self.last
 
     def conv(self, filters: int, size: int = 3, stride: int = 1,
-             act: str = "leaky", bn: bool = True) -> int:
-        return self._add({"type": "convolutional",
-                          "batch_normalize": int(bn), "filters": filters,
-                          "size": size, "stride": stride, "pad": 1,
-                          "activation": act})
+             act: str = "leaky", bn: bool = True, groups: int = 1) -> int:
+        block = {"type": "convolutional",
+                 "batch_normalize": int(bn), "filters": filters,
+                 "size": size, "stride": stride, "pad": 1,
+                 "activation": act}
+        if groups != 1:
+            block["groups"] = groups
+        return self._add(block)
+
+    def dwconv(self, filters: int, stride: int = 1) -> int:
+        """Depthwise-separable conv block (3x3 dw + 1x1 pw, BN+ReLU6 each)."""
+        return self._add({"type": "depthwiseconvolutional",
+                          "filters": filters, "size": 3, "stride": stride})
 
     def shortcut(self, frm: int, weighted: bool = False) -> int:
         b = {"type": "shortcut", "from": [frm], "activation": "linear"}
@@ -146,6 +156,90 @@ def cspdarknet53(b: NetBuilder):
     f16 = csp_stage(b, 512, 8)
     f32 = csp_stage(b, 1024, 4)
     return f8, f16, f32
+
+
+def mbv2_block(b: NetBuilder, c_in: int, c_out: int, stride: int = 1,
+               expand: int = 6) -> int:
+    """MobileNetV2 inverted residual: [1x1 expand relu6] -> 3x3 depthwise
+    (grouped conv) relu6 -> 1x1 linear project -> shortcut when shapes match
+    (reference kaist_yolov4_mobilenetv2.cfg blocks)."""
+    mid = c_in * expand
+    if expand != 1:
+        b.conv(mid, 1, act="relu6")
+    b.conv(mid, 3, stride, act="relu6", groups=mid)
+    out = b.conv(c_out, 1, act="linear")
+    if stride == 1 and c_in == c_out:
+        out = b.shortcut(-4 if expand != 1 else -3)
+    return out
+
+
+def mbv2_stage(b: NetBuilder, c_in: int, c: int, n: int, s: int,
+               first: bool = False) -> int:
+    for i in range(n):
+        mbv2_block(b, c_in if i == 0 else c, c, stride=s if i == 0 else 1,
+                   expand=1 if first else 6)
+    return b.last
+
+
+def mobilenet_v2_backbone(b: NetBuilder):
+    """MobileNetV2 (reference kaist_yolov4_mobilenetv2.cfg layers 0-60).
+    Returns /8, /16, /32-path feature indices (32ch, 96ch, 320ch taps)."""
+    b.conv(32, 3, 2, act="relu6")
+    c_in = 32
+    taps = {}
+    first = True
+    for c, n, s in [(16, 1, 1), (24, 2, 2), (32, 3, 2), (64, 4, 2),
+                    (96, 3, 1), (160, 3, 2), (320, 1, 1)]:
+        for i in range(n):
+            mbv2_block(b, c_in, c, stride=s if i == 0 else 1,
+                       expand=1 if first else 6)
+            first = False
+            c_in = c
+        taps[c] = b.last
+    return taps[32], taps[96], taps[320]
+
+
+# MobileNetV3-large rows: (kernel, expand, out, se, act, stride)
+MBV3_ROWS = [
+    (3, 16, 16, False, "relu", 1),
+    (3, 64, 24, False, "relu", 2),
+    (3, 72, 24, False, "relu", 1),
+    (5, 72, 40, True, "relu", 2),
+    (5, 120, 40, True, "relu", 1),
+    (5, 120, 40, True, "relu", 1),
+    (3, 240, 80, False, "hard-swish", 2),
+    (3, 200, 80, False, "hard-swish", 1),
+    (3, 184, 80, False, "hard-swish", 1),
+    (3, 184, 80, False, "hard-swish", 1),
+    (3, 480, 112, True, "hard-swish", 1),
+    (3, 672, 112, True, "hard-swish", 1),
+    (5, 672, 160, True, "hard-swish", 2),
+    (5, 960, 160, True, "hard-swish", 1),
+    (5, 960, 160, True, "hard-swish", 1),
+]
+
+
+def mobilenet_v3_backbone(b: NetBuilder):
+    """MobileNetV3-large (reference kaist_yolov4_mobilenetv3.cfg layers 0-61).
+    Returns /8, /16, /32-path taps (40ch, 112ch, 160ch)."""
+    b.conv(16, 3, 2, act="hard-swish")
+    c_in = 16
+    taps = {}
+    for k, exp, out, se, act, s in MBV3_ROWS:
+        n_layers = 2 + int(se) + int(exp != c_in)  # expand? + dw + se? + proj
+        if exp != c_in:
+            b.conv(exp, 1, act=act)
+        b.conv(exp, k, s, act=act, groups=exp)
+        if se:
+            b.se(4)
+        b.conv(out, 1, act="linear")
+        # residual when shapes match — except the stem row (exp == c_in),
+        # where the reference cfg omits it
+        if s == 1 and c_in == out and exp != c_in:
+            b.shortcut(-(n_layers + 1))
+        c_in = out
+        taps[out] = b.last
+    return taps[40], taps[112], taps[160]
 
 
 # ---------------------------------------------------------------------- heads
@@ -275,8 +369,83 @@ def yolov4_spp_panet_head(b: NetBuilder, f8: int, f16: int, f32: int,
     b.yolo(anchors, [6, 7, 8], nc)
 
 
+def yolov4_mobile_head(b: NetBuilder, f8: int, f16: int, f32: int,
+                       anchors: list, nc: int):
+    """Lightweight YOLOv4 SPP + PANet head: every 3x3 conv replaced by a
+    depthwise-separable block, 1x1 convs relu6 (reference
+    kaist_yolov4_mobilenetv2.cfg layers 61-117)."""
+    if b.last != f32:
+        b.route(f32)
+    b.conv(512, 1, act="relu6")
+    b.dwconv(1024)
+    b.conv(512, 1, act="relu6")
+    _spp(b)
+    b.conv(512, 1, act="relu6")
+    b.dwconv(1024)
+    p5 = b.conv(512, 1, act="relu6")
+
+    b.conv(256, 1, act="relu6")
+    up16 = b.upsample()
+    b.route(f16)
+    lat16 = b.conv(256, 1, act="relu6")
+    b.route(lat16, up16)
+    b.conv(256, 1, act="relu6")
+    b.dwconv(512)
+    b.conv(256, 1, act="relu6")
+    b.dwconv(512)
+    p4 = b.conv(256, 1, act="relu6")
+
+    b.conv(128, 1, act="relu6")
+    up8 = b.upsample()
+    b.route(f8)
+    lat8 = b.conv(128, 1, act="relu6")
+    b.route(lat8, up8)
+    b.conv(128, 1, act="relu6")
+    b.dwconv(256)
+    b.conv(128, 1, act="relu6")
+    b.dwconv(256)
+    p3 = b.conv(128, 1, act="relu6")
+    b.dwconv(256)
+    b.yolo(anchors, [0, 1, 2], nc)
+
+    b.route(p3)
+    b.dwconv(256, stride=2)
+    b.route(b.last, p4)
+    b.conv(256, 1, act="relu6")
+    b.dwconv(512)
+    b.conv(256, 1, act="relu6")
+    b.dwconv(512)
+    n4 = b.conv(256, 1, act="relu6")
+    b.dwconv(512)
+    b.yolo(anchors, [3, 4, 5], nc)
+
+    b.route(n4)
+    b.dwconv(512, stride=2)
+    b.route(b.last, p5)
+    # NB: the reference cfg marks this one conv 'leaky' while every other
+    # head 1x1 is relu6 (kaist_yolov4_mobilenetv2.cfg layer 110) — replicated
+    # for exact weight-import parity
+    b.conv(512, 1, act="leaky")
+    b.dwconv(1024)
+    b.conv(512, 1, act="relu6")
+    b.dwconv(1024)
+    b.conv(512, 1, act="relu6")
+    b.dwconv(1024)
+    b.yolo(anchors, [6, 7, 8], nc)
+
+
 KAIST_ANCHORS_V4_SINGLE = [16, 32, 18, 42, 22, 44, 22, 55, 30, 58, 27, 65,
                            34, 80, 43, 102, 62, 153]
+
+
+def build_yolov4_mobilenetv2(nc: int = 1, anchors=None,
+                             img_size: int = 512) -> GraphIR:
+    """Visible-YOLOv4-MobileNetv2 (reference kaist_yolov4_mobilenetv2.cfg)."""
+    anchors = anchors or KAIST_ANCHORS_V4_SINGLE
+    b = NetBuilder(img_size, img_size)
+    f8, f16, f32 = mobilenet_v2_backbone(b)
+    yolov4_mobile_head(b, f8, f16, f32, anchors, nc)
+    return b.compile([8, 16, 32], "yolov4", "built_yolov4_mnv2")
 
 
 def build_yolov4(nc: int = 1, anchors=None, img_size: int = 512) -> GraphIR:
@@ -406,6 +575,16 @@ def build_double_yolov3_global_fshare_cse3(nc: int = 1, anchors=None,
     return b.compile([32, 16, 8], "yolov3", "built_dyolov3_gf_cse3")
 
 
+def build_yolov4_mobilenetv3(nc: int = 1, anchors=None,
+                             img_size: int = 512) -> GraphIR:
+    """Visible-YOLOv4-MobileNetv3 (reference kaist_yolov4_mobilenetv3.cfg)."""
+    anchors = anchors or KAIST_ANCHORS_V4_SINGLE
+    b = NetBuilder(img_size, img_size)
+    f8, f16, f32 = mobilenet_v3_backbone(b)
+    yolov4_mobile_head(b, f8, f16, f32, anchors, nc)
+    return b.compile([8, 16, 32], "yolov4", "built_yolov4_mnv3")
+
+
 def build_double_yolov4(nc: int = 1, anchors=None, img_size: int = 512,
                         fusion: str = "add_sl") -> GraphIR:
     """Dual-stream Double-YOLOv4 (CSPDarknet53 x2 + SPP/PANet) with
@@ -483,6 +662,118 @@ def build_double_yolov4_global_fshare_cse3(nc: int = 1, anchors=None,
     return b.compile([8, 16, 32], "yolov4", "built_dyolov4_gf_cse3")
 
 
+def build_double_yolov4_mnv2_global_fshare_cse3(nc: int = 1, anchors=None,
+                                                img_size: int = 512
+                                                ) -> GraphIR:
+    """Double-YOLOv4-MNv2-Fshare-Global-CSE3 (reference
+    kaist_dyolov4_mobilenetv2_fshare_global_cse3.cfg): twin MobileNetV2
+    streams with FSNet global sharing; the mobile fusion block is
+    route -> 3x3 depthwise (grouped) -> SE -> 1x1 linear project ->
+    learned weighted shortcut; lightweight SPP+PANet head."""
+    anchors = anchors or KAIST_ANCHORS_V4_SINGLE
+    b = NetBuilder(img_size, img_size)
+
+    def stem(bb):
+        bb.conv(32, 3, 2, act="relu6")
+        mbv2_stage(bb, 32, 16, 1, 1, first=True)
+        mbv2_stage(bb, 16, 24, 2, 2)
+        return mbv2_stage(bb, 24, 32, 3, 2)
+
+    def mid(bb):
+        mbv2_stage(bb, 32, 64, 4, 2)
+        return mbv2_stage(bb, 64, 96, 3, 1)
+
+    def tail(bb):
+        mbv2_stage(bb, 96, 160, 3, 2)
+        return mbv2_stage(bb, 160, 320, 1, 1)
+
+    def fuse(vf, lf, ch, reinject_v=True):
+        b.route(vf, lf)
+        b.conv(2 * ch, 3, act="relu6", groups=2 * ch)
+        b.se(4)
+        shared = b.conv(ch, 1, act="linear")
+        if reinject_v:
+            b.shortcut(vf, weighted=True)
+        return shared
+
+    v8 = stem(b)                                  # 0..20
+    b.net["second_index"] = b.last + 1
+    l8 = stem(b)                                  # 21..41
+    f8 = fuse(v8, l8, 32)                         # 42..46
+    v16 = mid(b)
+    b.route(f8)
+    b.shortcut(l8, weighted=True)
+    l16 = mid(b)
+    f16 = fuse(v16, l16, 96)
+    v32 = tail(b)
+    b.route(f16)
+    b.shortcut(l16, weighted=True)
+    l32 = tail(b)
+    f32 = fuse(v32, l32, 320, reinject_v=False)
+    yolov4_mobile_head(b, f8, f16, f32, anchors, nc)
+    return b.compile([8, 16, 32], "yolov4", "built_dyolov4_mnv2_gf_cse3")
+
+
+def build_double_yolov4_mnv3_global_fshare_cse3(nc: int = 1, anchors=None,
+                                                img_size: int = 512
+                                                ) -> GraphIR:
+    """Double-YOLOv4-MNv3-Fshare-Global-CSE3 (reference
+    kaist_dyolov4_mobilenetv3_fshare_global_cse3.cfg): twin MobileNetV3
+    streams with the mobile FSNet fusion blocks and lightweight head."""
+    anchors = anchors or KAIST_ANCHORS_V4_SINGLE
+    b = NetBuilder(img_size, img_size)
+
+    def rows(bb, c_in, row_slice):
+        for k, exp, out, se, act, s in MBV3_ROWS[row_slice]:
+            n_layers = 2 + int(se) + int(exp != c_in)
+            if exp != c_in:
+                bb.conv(exp, 1, act=act)
+            bb.conv(exp, k, s, act=act, groups=exp)
+            if se:
+                bb.se(4)
+            bb.conv(out, 1, act="linear")
+            if s == 1 and c_in == out and exp != c_in:
+                bb.shortcut(-(n_layers + 1))
+            c_in = out
+        return bb.last
+
+    def stem(bb):
+        bb.conv(16, 3, 2, act="hard-swish")
+        return rows(bb, 16, slice(0, 6))        # through the c=40 stage
+
+    def fuse(vf, lf, ch, reinject_v=True):
+        b.route(vf, lf)
+        b.conv(2 * ch, 3, act="relu6", groups=2 * ch)
+        b.se(4)
+        shared = b.conv(ch, 1, act="linear")
+        if reinject_v:
+            b.shortcut(vf, weighted=True)
+        return shared
+
+    v8 = stem(b)                                  # 0..23
+    b.net["second_index"] = b.last + 1
+    l8 = stem(b)                                  # 24..47
+    f8 = fuse(v8, l8, 40)                         # 48..52
+    v16 = rows(b, 40, slice(6, 12))               # c80 + c112 rows
+    b.route(f8)
+    b.shortcut(l8, weighted=True)
+    l16 = rows(b, 40, slice(6, 12))
+    f16 = fuse(v16, l16, 112)
+    v32 = rows(b, 112, slice(12, 15))             # c160 rows
+    b.route(f16)
+    b.shortcut(l16, weighted=True)
+    l32 = rows(b, 112, slice(12, 15))
+    f32 = fuse(v32, l32, 160, reinject_v=False)
+    # NB: replicating the reference cfg's head lateral targets verbatim
+    # (kaist_dyolov4_mobilenetv3_fshare_global_cse3.cfg routes 156/166): the
+    # /16 lateral reads fusion-2's depthwise output (pre-SE, 224ch) and the
+    # /8 lateral reads the L-stem's last SE output (120ch) rather than the
+    # shared projections — quirks of the shipped (and benchmarked) model
+    yolov4_mobile_head(b, f8=l8 - 2, f16=f16 - 2, f32=f32,
+                       anchors=anchors, nc=nc)
+    return b.compile([8, 16, 32], "yolov4", "built_dyolov4_mnv3_gf_cse3")
+
+
 BUILDERS = {
     "Visible-YOLOv3-Normal": build_yolov3,
     "Double-YOLOv3-Add-SL": build_double_yolov3_add,
@@ -498,4 +789,10 @@ BUILDERS = {
     "Double-YOLOv4-Add-SL": build_double_yolov4,
     "Double-YOLOv4-CSE": lambda **kw: build_double_yolov4(fusion="cse", **kw),
     "Double-YOLOv4-Fshare-Global-CSE3": build_double_yolov4_global_fshare_cse3,
+    "Visible-YOLOv4-MobileNetv2": build_yolov4_mobilenetv2,
+    "Visible-YOLOv4-MobileNetv3": build_yolov4_mobilenetv3,
+    "Double-YOLOv4-MNv2-Fshare-Global-CSE3":
+        build_double_yolov4_mnv2_global_fshare_cse3,
+    "Double-YOLOv4-MNv3-Fshare-Global-CSE3":
+        build_double_yolov4_mnv3_global_fshare_cse3,
 }

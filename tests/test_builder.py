@@ -39,6 +39,12 @@ CASES = [
      "kaist_dyolov4_concat_se.cfg"),
     (B.build_double_yolov4_global_fshare_cse3,
      "kaist_dyolov4_fshare_global_concat_se3.cfg"),
+    (B.build_yolov4_mobilenetv2, "kaist_yolov4_mobilenetv2.cfg"),
+    (B.build_yolov4_mobilenetv3, "kaist_yolov4_mobilenetv3.cfg"),
+    (B.build_double_yolov4_mnv2_global_fshare_cse3,
+     "kaist_dyolov4_mobilenetv2_fshare_global_cse3.cfg"),
+    (B.build_double_yolov4_mnv3_global_fshare_cse3,
+     "kaist_dyolov4_mobilenetv3_fshare_global_cse3.cfg"),
 ]
 
 
