@@ -164,9 +164,13 @@ def mbv2_block(b: NetBuilder, c_in: int, c_out: int, stride: int = 1,
     (grouped conv) relu6 -> 1x1 linear project -> shortcut when shapes match
     (reference kaist_yolov4_mobilenetv2.cfg blocks)."""
     mid = c_in * expand
+    # NB: the reference cfgs put the block's stride-2 on the 1x1 EXPAND conv
+    # (not the depthwise, as standard MobileNet does) — replicated exactly
     if expand != 1:
-        b.conv(mid, 1, act="relu6")
-    b.conv(mid, 3, stride, act="relu6", groups=mid)
+        b.conv(mid, 1, stride, act="relu6")
+        b.conv(mid, 3, 1, act="relu6", groups=mid)
+    else:
+        b.conv(mid, 3, stride, act="relu6", groups=mid)
     out = b.conv(c_out, 1, act="linear")
     if stride == 1 and c_in == c_out:
         out = b.shortcut(-4 if expand != 1 else -3)
@@ -227,9 +231,12 @@ def mobilenet_v3_backbone(b: NetBuilder):
     taps = {}
     for k, exp, out, se, act, s in MBV3_ROWS:
         n_layers = 2 + int(se) + int(exp != c_in)  # expand? + dw + se? + proj
+        # stride rides on the expand conv (see mbv2_block note)
         if exp != c_in:
-            b.conv(exp, 1, act=act)
-        b.conv(exp, k, s, act=act, groups=exp)
+            b.conv(exp, 1, s, act=act)
+            b.conv(exp, k, 1, act=act, groups=exp)
+        else:
+            b.conv(exp, k, s, act=act, groups=exp)
         if se:
             b.se(4)
         b.conv(out, 1, act="linear")
@@ -726,9 +733,12 @@ def build_double_yolov4_mnv3_global_fshare_cse3(nc: int = 1, anchors=None,
     def rows(bb, c_in, row_slice):
         for k, exp, out, se, act, s in MBV3_ROWS[row_slice]:
             n_layers = 2 + int(se) + int(exp != c_in)
+            # stride rides on the expand conv (see mbv2_block note)
             if exp != c_in:
-                bb.conv(exp, 1, act=act)
-            bb.conv(exp, k, s, act=act, groups=exp)
+                bb.conv(exp, 1, s, act=act)
+                bb.conv(exp, k, 1, act=act, groups=exp)
+            else:
+                bb.conv(exp, k, s, act=act, groups=exp)
             if se:
                 bb.se(4)
             bb.conv(out, 1, act="linear")
