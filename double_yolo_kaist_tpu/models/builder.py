@@ -9,13 +9,12 @@ channel bookkeeping. Built graphs are validated layer-for-layer against the
 reference golden fixture in tests/test_builder.py.
 
 Covered (all fixture-exact): Darknet53 / CSPDarknet53 / MobileNetV2 /
-MobileNetV3-large backbones, YOLOv3 SPP+FPN, YOLOv4 SPP+PANet and the
-lightweight depthwise PANet heads, and fifteen models: Visible-YOLOv3,
-Double-YOLOv3 {Add-SL, Add-Simple, Concat, Concat-SE, Concat-Inception-SE,
-Global-Fshare-CSE3}, Visible-YOLOv4{, -MobileNetv2, -MobileNetv3}, and
-Double-YOLOv4 {Add-SL, CSE, Fshare-Global-CSE3 (the reference's best model),
-MNv2/MNv3-Fshare-Global-CSE3}. The three remaining v3 fshare variants load
-via .cfg only.
+MobileNetV3-large backbones; YOLOv3 SPP+FPN, YOLOv4 SPP+PANet and the
+lightweight depthwise PANet heads; every fusion family (Add-SL, Add-Simple,
+Concat, CSE, Concat-Inception-SE, Fshare-CSE ladders, Global-Fshare CSE /
+CSE3 / Add-SL); and ALL 16 published zoo models (models/zoo.py) plus two
+extra cfg variants — each validated layer-for-layer (types, parameter
+counts, forward shapes, anchors) against the reference golden fixture.
 """
 
 from __future__ import annotations
@@ -105,13 +104,17 @@ class NetBuilder:
 
 # ------------------------------------------------------------------ backbones
 
-def darknet_stage(b: NetBuilder, ch: int, n_blocks: int) -> int:
-    """One Darknet53 stage: stride-2 conv + n residual blocks."""
+def darknet_stage(b: NetBuilder, ch: int, n_blocks: int,
+                  first_block_weighted: bool = False) -> int:
+    """One Darknet53 stage: stride-2 conv + n residual blocks.
+    ``first_block_weighted`` replicates a reference quirk
+    (kaist_dyolov3_fshare_global_add_sl.cfg layer 16: the first residual
+    shortcut of the post-fusion stage carries learned weights)."""
     b.conv(ch, stride=2)
-    for _ in range(n_blocks):
+    for i in range(n_blocks):
         b.conv(ch // 2, size=1)
         b.conv(ch)
-        b.shortcut(-3)
+        b.shortcut(-3, weighted=first_block_weighted and i == 0)
     return b.last
 
 
@@ -784,6 +787,120 @@ def build_double_yolov4_mnv3_global_fshare_cse3(nc: int = 1, anchors=None,
     return b.compile([8, 16, 32], "yolov4", "built_dyolov4_mnv3_gf_cse3")
 
 
+def build_double_yolov3_global_fshare_cse(nc: int = 1, anchors=None,
+                                          img_size: int = 512) -> GraphIR:
+    """Double-YOLOv3 Global-Fshare-CSE (reference
+    kaist_dyolov3_fshare_global_concat_se.cfg): streams interleave after
+    EVERY darknet stage; each fusion is concat -> 3x3 conv -> SE, reinjected
+    into both streams by plain additive shortcuts; the FPN consumes the SE
+    features of the three deepest fusions."""
+    anchors = anchors or KAIST_ANCHORS_V3_DOUBLE
+    b = NetBuilder(img_size, img_size)
+
+    def stem(bb):
+        bb.conv(32)
+        return darknet_stage(bb, 64, 1)
+
+    v = stem(b)                                  # 0..4
+    b.net["second_index"] = b.last + 1
+    l = stem(b)                                  # 5..9
+
+    ses = []
+    for ch, n_blocks in [(64, None), (128, 2), (256, 8), (512, 8),
+                         (1024, 4)]:
+        if ch > 64:
+            v = darknet_stage(b, ch, n_blocks)
+            b.route(ses[-1])
+            b.shortcut(l)
+            l = darknet_stage(b, ch, n_blocks)
+        b.route(v, l)
+        b.conv(ch)
+        ses.append(b.se(4))
+        if ch < 1024:
+            b.shortcut(v)                        # fused -> V stream
+    f8, f16, f32 = ses[2], ses[3], ses[4]
+    yolov3_spp_fpn_head(b, f8, f16, f32, anchors, nc)
+    return b.compile([32, 16, 8], "yolov3", "built_dyolov3_gf_cse")
+
+
+def build_double_yolov3_global_fshare_add_sl(nc: int = 1, anchors=None,
+                                             img_size: int = 512) -> GraphIR:
+    """Double-YOLOv3 Global-Fshare-Add-SL (reference
+    kaist_dyolov3_fshare_global_add_sl.cfg): per-stage additive sharing —
+    weighted blend of the two streams, 3x3 conv, weighted blend again —
+    reinjected into the L stream before its next stage; the FPN consumes the
+    fusion convs of the three deepest scales."""
+    anchors = anchors or KAIST_ANCHORS_V3_DOUBLE
+    b = NetBuilder(img_size, img_size)
+
+    def stem(bb):
+        bb.conv(32)
+        return darknet_stage(bb, 64, 1)
+
+    v = stem(b)                                  # 0..4
+    b.net["second_index"] = b.last + 1
+    l = stem(b)                                  # 5..9
+
+    fconvs = []
+    for ch, n_blocks in [(64, None), (128, 2), (256, 8), (512, 8),
+                         (1024, 4)]:
+        if ch > 64:
+            # the first residual of the post-fusion 128 stage is weighted
+            # (reference quirk, layer 16)
+            v = darknet_stage(b, ch, n_blocks,
+                              first_block_weighted=(ch == 128))
+            b.route(fconvs[-1])
+            b.shortcut(l, weighted=True)
+            l = darknet_stage(b, ch, n_blocks)
+        b.shortcut(v, weighted=True)             # blend L (prev) with V
+        fconvs.append(b.conv(ch))
+        if ch < 1024:
+            b.shortcut(v, weighted=True)         # blend fused back with V
+    f8, f16, f32 = fconvs[2], fconvs[3], fconvs[4]
+    yolov3_spp_fpn_head(b, f8, f16, f32, anchors, nc)
+    return b.compile([32, 16, 8], "yolov3", "built_dyolov3_gf_add_sl")
+
+
+def build_double_yolov3_fshare_cse(nc: int = 1, anchors=None,
+                                   img_size: int = 512) -> GraphIR:
+    """Double-YOLOv3 Fshare-CSE (reference kaist_dyolov3_fshare_concat_se.cfg):
+    two full Darknet53 backbones, then a per-scale sharing ladder — concat ->
+    3x3 conv -> SE, reinjected into each stream followed by two residual
+    refinement blocks per stream, then a second concat -> conv -> SE that
+    yields the shared FPN feature."""
+    anchors = anchors or KAIST_ANCHORS_V3_DOUBLE
+    b = NetBuilder(img_size, img_size)
+    v8, v16, v32 = darknet53(b)                  # 0..74
+    b.net["second_index"] = b.last + 1
+    l8, l16, l32 = darknet53(b)                  # 75..149
+
+    def refine(ch, n=2):
+        for _ in range(n):
+            b.conv(ch // 2, 1)
+            b.conv(ch)
+            b.shortcut(-3)
+        return b.last
+
+    def ladder(vf, lf, ch):
+        b.route(vf, lf)
+        b.conv(ch)
+        se1 = b.se(4)
+        b.shortcut(vf)
+        v_ref = refine(ch)
+        b.route(se1)
+        b.shortcut(lf)
+        l_ref = refine(ch)
+        b.route(l_ref, v_ref)
+        b.conv(ch)
+        return b.se(4)
+
+    f8 = ladder(v8, l8, 256)
+    f16 = ladder(v16, l16, 512)
+    f32 = ladder(v32, l32, 1024)
+    yolov3_spp_fpn_head(b, f8, f16, f32, anchors, nc)
+    return b.compile([32, 16, 8], "yolov3", "built_dyolov3_fshare_cse")
+
+
 BUILDERS = {
     "Visible-YOLOv3-Normal": build_yolov3,
     "Double-YOLOv3-Add-SL": build_double_yolov3_add,
@@ -795,6 +912,10 @@ BUILDERS = {
     "Double-YOLOv3-Concat-Inception-SE":
         lambda **kw: build_double_yolov3_concat(se=True, inception=True, **kw),
     "Double-YOLOv3-Global-Fshare-CSE3": build_double_yolov3_global_fshare_cse3,
+    "Double-YOLOv3-Fshare-CSE": build_double_yolov3_fshare_cse,
+    "Double-YOLOv3-Global-Fshare-CSE": build_double_yolov3_global_fshare_cse,
+    "Double-YOLOv3-Global-Fshare-Add-SL":
+        build_double_yolov3_global_fshare_add_sl,
     "Visible-YOLOv4-Normal": build_yolov4,
     "Double-YOLOv4-Add-SL": build_double_yolov4,
     "Double-YOLOv4-CSE": lambda **kw: build_double_yolov4(fusion="cse", **kw),

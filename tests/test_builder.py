@@ -45,6 +45,11 @@ CASES = [
      "kaist_dyolov4_mobilenetv2_fshare_global_cse3.cfg"),
     (B.build_double_yolov4_mnv3_global_fshare_cse3,
      "kaist_dyolov4_mobilenetv3_fshare_global_cse3.cfg"),
+    (B.build_double_yolov3_fshare_cse, "kaist_dyolov3_fshare_concat_se.cfg"),
+    (B.build_double_yolov3_global_fshare_cse,
+     "kaist_dyolov3_fshare_global_concat_se.cfg"),
+    (B.build_double_yolov3_global_fshare_add_sl,
+     "kaist_dyolov3_fshare_global_add_sl.cfg"),
 ]
 
 
