@@ -146,7 +146,7 @@ def csp_stage(b: NetBuilder, ch: int, n_blocks: int,
         b.shortcut(-3)
     split_b = b.conv(half, 1, act="mish")
     b.route(split_b, split_a)
-    return b.conv(ch if not first else ch, 1, act="mish")
+    return b.conv(ch, 1, act="mish")
 
 
 def cspdarknet53(b: NetBuilder):

@@ -47,8 +47,7 @@ def make_calibration_fn(ir: GraphIR, compute_dtype=jnp.bfloat16):
     """Jitted fn(folded, xv, xl) -> {key: max|input|} for quantizable nodes.
 
     Runs the BN-folded forward, recording the absolute max of every
-    quantizable conv's input (for dwconv: dw input and pw input; for
-    inception: the block input and each branch intermediate)."""
+    quantizable conv's input."""
     targets = _quantizable(ir)
 
     def fn(folded, xv, xl=None):

@@ -145,9 +145,13 @@ class Trainer:
         print(f"epoch {epoch} timing: {timer.summary()}", flush=True)
         return last, lr
 
-    def evaluate(self, batch_size: int | None = None):
-        variables = {"params": self.state.params,
-                     "state": self.state.bn_state}
+    def evaluate(self, batch_size: int | None = None, use_ema: bool = False):
+        """In-train COCO eval; ``use_ema`` evaluates the EMA weights
+        (reference ModelEMA's intended use, torch_utils.py:77-126)."""
+        params = (self.state.ema["params"]
+                  if use_ema and self.state.ema is not None
+                  else self.state.params)
+        variables = {"params": params, "state": self.state.bn_state}
         return evaluate_dataset(self.ir, variables, self.val_dataset,
                                 batch_size=batch_size or self.batch_size,
                                 compute_dtype=self.compute_dtype)
