@@ -75,3 +75,33 @@ def test_int8_weights_really_int8():
                 assert sub["wq"].dtype == jnp.int8
                 n_q += 1
     assert n_q >= 6  # the tiny model's 3x3 convs are quantized
+
+
+def test_int8_evaluator_path(tmp_path):
+    """evaluate_dataset(int8=True): calibration + quantized NMS loop."""
+    import cv2
+    from double_yolo_kaist_tpu.data.dataset import KaistDataset
+    from double_yolo_kaist_tpu.eval.evaluator import evaluate_dataset
+
+    img_dir = tmp_path / "images" / "s"
+    lab_dir = tmp_path / "labels" / "s"
+    img_dir.mkdir(parents=True)
+    lab_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    logical = []
+    for i in range(4):
+        im = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+        cv2.imwrite(str(img_dir / f"I{i}_visible.jpg"), im)
+        cv2.imwrite(str(img_dir / f"I{i}_lwir.jpg"), im)
+        (lab_dir / f"I{i}.txt").write_text("0 0.5 0.5 0.3 0.4\n")
+        logical.append(str(img_dir / f"I{i}.jpg"))
+    (tmp_path / "t.txt").write_text("\n".join(logical))
+    ds = KaistDataset(str(tmp_path / "t.txt"), 64, 4, rect=True)
+
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    res = evaluate_dataset(ir, variables, ds, batch_size=4,
+                           compute_dtype=jnp.float32, int8=True,
+                           calibration_batches=1)
+    assert res["coco_stats"].shape == (12,)
+    assert 0.0 <= res["ap"] <= 1.0
