@@ -47,6 +47,9 @@ def main(argv=None):
                    help="disable bf16 compute")
     p.add_argument("--cutoff", type=int, default=-1,
                    help="darknet .weights layer cutoff for transfer learning")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="K optimizer steps per device dispatch (lax.scan); "
+                        "amortizes host dispatch latency, fixed img size only")
     p.add_argument("--remat-segments", type=int, default=0,
                    help="gradient-checkpoint the forward into N segments "
                         "(trades recompute for HBM at large batch)")
@@ -85,7 +88,8 @@ def main(argv=None):
                       compute_dtype=jnp.float32 if opt.fp32 else jnp.bfloat16,
                       out_dir=opt.out_dir, name=opt.name,
                       accumulate=opt.accumulate, snowflake=opt.snow,
-                      remat_segments=opt.remat_segments)
+                      remat_segments=opt.remat_segments,
+                      steps_per_dispatch=opt.steps_per_dispatch)
     if opt.weights:
         trainer.state = trainer.state._replace(
             params=variables["params"], bn_state=variables["state"])

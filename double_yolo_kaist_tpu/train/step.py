@@ -82,6 +82,51 @@ def make_train_step(ir, hyp: dict, tx, *, gr: float = 1.0,
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_multi_step(ir, hyp: dict, tx, *, gr: float = 1.0,
+                    compute_dtype=jnp.bfloat16, ema_decay: float = 0.9999,
+                    remat_segments: int = 0):
+    """K optimizer steps per dispatch via ``lax.scan`` over stacked batches.
+
+    (state, batches, rng) -> (state, stacked metrics), where every leaf of
+    ``batches`` has a leading K axis. One XLA program executes K full steps —
+    amortizes host dispatch latency (essential through high-latency device
+    attachments; measured ~100 ms/dispatch on this TPU tunnel, i.e. ~45% of a
+    flagship bs8 step)."""
+    specs = LS.head_specs(ir)
+
+    def one_step(carry, inp):
+        state, rng = carry
+        batch = inp
+        xv = _to_float(batch["v"])
+        xl = _to_float(batch["l"]) if "l" in batch else None
+
+        def loss_fn(params):
+            raws, new_bn = graph.apply(
+                ir, {"params": params, "state": state.bn_state}, xv, xl,
+                train=True, rng=rng, compute_dtype=compute_dtype,
+                remat_segments=remat_segments)
+            ld = LS.compute_loss(raws, batch["targets"], batch["tmask"],
+                                 specs, hyp, gr)
+            return LS.total_loss(ld), (ld, new_bn)
+
+        (total, (ld, new_bn)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema
+        if ema is not None:
+            ema = OPT.ema_update(ema, params, ema_decay)
+        metrics = {**ld, "loss": total}
+        new_state = TrainState(params, new_bn, opt_state, state.step + 1, ema)
+        return (new_state, jax.random.fold_in(rng, 1)), metrics
+
+    def multi(state: TrainState, batches: dict, rng):
+        (state, _), metrics = jax.lax.scan(one_step, (state, rng), batches)
+        return state, metrics
+
+    return jax.jit(multi, donate_argnums=(0,))
+
+
 def make_eval_step(ir, *, compute_dtype=jnp.bfloat16, folded: bool = False):
     """Jitted inference step -> decoded predictions (bs, total, no) fp32."""
     if folded:

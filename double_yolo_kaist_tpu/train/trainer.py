@@ -30,6 +30,22 @@ from . import optim as OPT
 from .step import TrainState, create_train_state, make_train_step
 
 
+def _group_batches(batches, k: int):
+    """Group k device batches into one stacked batch for make_multi_step
+    (partial trailing groups are dropped, like drop_last)."""
+    import jax.numpy as jnp
+
+    group, idxs = [], []
+    for batch, idx in batches:
+        group.append(batch)
+        idxs.extend(list(idx))
+        if len(group) == k:
+            stacked = {key: jnp.stack([g[key] for g in group])
+                       for key in group[0]}
+            yield stacked, idxs
+            group, idxs = [], []
+
+
 def multi_scale_buckets(img_size: int, gs: int = 32):
     """The reference samples sizes in [imgsz//1.5, imgsz//0.667] on a 32-px
     grid (train.py:51-58); we take {min, mid, base, max} as compile buckets."""
@@ -47,7 +63,7 @@ class Trainer:
                  compute_dtype=jnp.bfloat16, out_dir: str = "runs",
                  name: str = "exp", accumulate: int = 1,
                  snowflake: bool = False, seed: int = 0,
-                 remat_segments: int = 0):
+                 remat_segments: int = 0, steps_per_dispatch: int = 1):
         self.ir = ir
         self.hyp = dict(hyp)
         self.epochs = epochs
@@ -76,9 +92,19 @@ class Trainer:
                                      accumulate=accumulate)
         self.state = create_train_state(ir, jax.random.PRNGKey(seed), self.tx,
                                         ema=ema, variables=variables)
-        self.step_fn = make_train_step(ir, self.hyp, self.tx,
-                                       compute_dtype=compute_dtype,
-                                       remat_segments=remat_segments)
+        if steps_per_dispatch > 1 and multi_scale:
+            raise ValueError("steps_per_dispatch>1 requires a fixed image "
+                             "size (stacked batches share one shape)")
+        self.steps_per_dispatch = steps_per_dispatch
+        if steps_per_dispatch > 1:
+            from .step import make_multi_step
+            self.step_fn = make_multi_step(ir, self.hyp, self.tx,
+                                           compute_dtype=compute_dtype,
+                                           remat_segments=remat_segments)
+        else:
+            self.step_fn = make_train_step(ir, self.hyp, self.tx,
+                                           compute_dtype=compute_dtype,
+                                           remat_segments=remat_segments)
         self.start_epoch = 0
         self.best_map = 0.0
         self.results = ResultsWriter(os.path.join(self.out_dir, "results.txt"))
@@ -129,12 +155,15 @@ class Trainer:
             self.train_dataset, self.batch_size, key,
             img_size=sizes, hyp=self.hyp,
             snowflake=self.snowflake, seed_epoch=epoch))
+        if self.steps_per_dispatch > 1:
+            batches = _group_batches(batches, self.steps_per_dispatch)
         last = {}
         for i, (batch, idx) in logger.log_every(batches, f"epoch {epoch}"):
             timer.data_ready()
             self.state, metrics = self.step_fn(self.state, batch,
                                                jax.random.fold_in(key, i))
-            last = {k: float(v) for k, v in metrics.items()}
+            last = {k: float(np.asarray(v).ravel()[-1])
+                    for k, v in metrics.items()}
             timer.step_done()
             if not math.isfinite(last["loss"]):
                 raise FloatingPointError(
