@@ -132,3 +132,12 @@ def test_mosaic4_structure():
     assert (lab4[..., 1:] >= 0).all() and (lab4[..., 1:] <= 2 * s).all()
     # some canvas area must be filled from sources (nonzero)
     assert (np.asarray(v4) > 0).mean() > 0.2
+
+
+def test_letterbox_labels():
+    labels = jnp.asarray([[0, 0.5, 0.5, 0.5, 0.25]])  # cls cx cy w h
+    out = np.asarray(A.letterbox_labels(labels, (100, 200), ratio=0.5,
+                                        pad=(10, 20)))
+    # cx*200*0.5 = 50, w*200*0.5 = 50 -> x1 = 50-25+10 = 35, x2 = 85
+    # cy*100*0.5 = 25, h*100*0.5 = 12.5 -> y1 = 25-6.25+20, y2 = +12.5
+    np.testing.assert_allclose(out[0], [0, 35, 38.75, 85, 51.25], atol=1e-4)
