@@ -1,0 +1,50 @@
+"""train CLI subprocess smoke: args -> datasets -> trainer -> checkpoint."""
+
+import os
+import subprocess
+import sys
+
+import cv2
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TINY = os.path.join(REPO, "tests", "fixtures", "tiny_dyolov3.cfg")
+
+
+def test_train_cli(tmp_path):
+    img_dir = tmp_path / "images" / "s"
+    lab_dir = tmp_path / "labels" / "s"
+    img_dir.mkdir(parents=True)
+    lab_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    logical = []
+    for i in range(4):
+        im = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+        cv2.imwrite(str(img_dir / f"I{i}_visible.jpg"), im)
+        cv2.imwrite(str(img_dir / f"I{i}_lwir.jpg"), im)
+        (lab_dir / f"I{i}.txt").write_text("0 0.5 0.5 0.3 0.4\n")
+        logical.append(str(img_dir / f"I{i}.jpg"))
+    (tmp_path / "t.txt").write_text("\n".join(logical))
+    (tmp_path / "m.data").write_text(
+        f"classes=1\ntrain={tmp_path}/t.txt\nvalid={tmp_path}/t.txt\n")
+    hyp = tmp_path / "hyp.yaml"
+    hyp.write_text(
+        "lr0: 0.001\nlrf: 0.1\nmomentum: 0.9\nweight_decay: 0.0\n"
+        "box: 3.54\ncls: 37.4\nobj: 64.3\ncls_pw: 1.0\nobj_pw: 1.0\n"
+        "iou_t: 0.2\nanchor_t: 4.0\nfl_gamma: 0.0\nciou: 1.0\n"
+        "hsv_h: 0.0\nhsv_s: 0.0\nhsv_v: 0.0\n"
+        "degrees: 0\ntranslate: 0\nscale: 0\nshear: 0\n")
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli", "train.py"),
+         "--cfg", TINY, "--data", str(tmp_path / "m.data"),
+         "--hyp", str(hyp), "--epochs", "1", "--batch-size", "4",
+         "--img-size", "64", "--fp32", "--name", "smoke",
+         "--out-dir", str(tmp_path / "runs"), "--save-best", "1"],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "training done" in out.stdout
+    run_dir = tmp_path / "runs" / "smoke"
+    assert (run_dir / "results.txt").exists()
+    assert (run_dir / "results.txt").read_text().count("epoch:") == 1
