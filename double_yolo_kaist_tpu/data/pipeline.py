@@ -216,10 +216,15 @@ def prefetch(iterator, depth: int = 2):
         yield item
 
 
+# eval preprocess programs, cached across epochs/evaluations (keyed by the
+# static resize geometry — rebuilding them per call would re-jit every epoch)
+_EVAL_PRE_CACHE: dict = {}
+
+
 def eval_batches(dataset, batch_size: int):
     """Yield (v, l, indices, ratio_pad) rect-letterboxed device batches."""
     n = len(dataset)
-    fns = {}
+    fns = _EVAL_PRE_CACHE
     for b0 in range(0, n, batch_size):
         idx = np.arange(b0, min(b0 + batch_size, n))
         src_hw = tuple(int(x) for x in dataset.shapes[idx[0]][::-1])
@@ -227,7 +232,7 @@ def eval_batches(dataset, batch_size: int):
             dst = tuple(dataset.batch_shapes[dataset.batch_index[idx[0]]])
         else:
             dst = (dataset.img_size, dataset.img_size)
-        sig = (src_hw, dst, len(idx))
+        sig = (src_hw, dst, len(idx), dataset.img_size, dataset.clahe)
         if sig not in fns:
             fns[sig] = make_eval_preprocess_fn(src_hw, dst, dataset.img_size,
                                                clahe=dataset.clahe)

@@ -34,6 +34,18 @@ def _undo_letterbox(boxes: np.ndarray, ratio, pad, orig_hw):
     return out
 
 
+# jitted infer/fold programs reused across evaluate_dataset calls (a fresh
+# closure per call would re-trace the full model every epoch)
+_INFER_CACHE: dict = {}
+
+
+def _cached(key, build):
+    fn = _INFER_CACHE.get(key)
+    if fn is None:
+        fn = _INFER_CACHE[key] = build()
+    return fn
+
+
 def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
                      conf_thres: float = 0.01, iou_thres: float = 0.6,
                      multi_label: bool = False, compute_dtype=jnp.bfloat16,
@@ -43,10 +55,19 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
     """Run the full eval loop. Returns dict with coco stats (12,), ap, lamr,
     fps, curves, and per-image predictions. ``int8``: selective PTQ inference
     calibrated on the first ``calibration_batches`` eval batches."""
+    key = (id(ir), conf_thres, iou_thres, multi_label, max_det,
+           str(compute_dtype), folded, int8)
+
+    def _nms(io):
+        return NMS.non_max_suppression(
+            io.astype(jnp.float32), conf_thres=conf_thres,
+            iou_thres=iou_thres, multi_label=multi_label, max_det=max_det)
+
     if int8:
         from ..models import quantize as Q
 
-        fold = jax.jit(lambda v: graph.fold_batchnorm(ir, v))
+        fold = _cached((id(ir), "fold"),
+                       lambda: jax.jit(lambda v: graph.fold_batchnorm(ir, v)))
         fvars = fold(variables)
         cal = []
         for v, l, idx, _ in eval_batches(dataset, batch_size):
@@ -56,43 +77,41 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
         stats = Q.calibrate(ir, fvars, cal, compute_dtype=compute_dtype)
         run_vars = jax.jit(lambda f: Q.quantize(ir, f, stats))(fvars)
 
-        @jax.jit
-        def infer(params, xv, xl):
-            io, _ = Q.apply_quantized(ir, params, xv, xl,
-                                      compute_dtype=compute_dtype)
-            return NMS.non_max_suppression(
-                io.astype(jnp.float32), conf_thres=conf_thres,
-                iou_thres=iou_thres, multi_label=multi_label,
-                max_det=max_det)
+        def build():
+            def infer(params, xv, xl):
+                io, _ = Q.apply_quantized(ir, params, xv, xl,
+                                          compute_dtype=compute_dtype)
+                return _nms(io)
+            return jax.jit(infer)
     elif folded:
-        fold = jax.jit(lambda v: graph.fold_batchnorm(ir, v))
+        fold = _cached((id(ir), "fold"),
+                       lambda: jax.jit(lambda v: graph.fold_batchnorm(ir, v)))
         run_vars = fold(variables)
 
-        @jax.jit
-        def infer(params, xv, xl):
-            io, _ = graph.apply_folded(ir, params, xv, xl,
-                                       compute_dtype=compute_dtype)
-            io = io.astype(jnp.float32)
-            return NMS.non_max_suppression(
-                io, conf_thres=conf_thres, iou_thres=iou_thres,
-                multi_label=multi_label, max_det=max_det)
+        def build():
+            def infer(params, xv, xl):
+                io, _ = graph.apply_folded(ir, params, xv, xl,
+                                           compute_dtype=compute_dtype)
+                return _nms(io)
+            return jax.jit(infer)
     else:
         run_vars = variables
 
-        @jax.jit
-        def infer(params, xv, xl):
-            (io, _), _ = graph.apply(ir, params, xv, xl, train=False,
-                                     compute_dtype=compute_dtype)
-            io = io.astype(jnp.float32)
-            return NMS.non_max_suppression(
-                io, conf_thres=conf_thres, iou_thres=iou_thres,
-                multi_label=multi_label, max_det=max_det)
+        def build():
+            def infer(params, xv, xl):
+                (io, _), _ = graph.apply(ir, params, xv, xl, train=False,
+                                         compute_dtype=compute_dtype)
+                return _nms(io)
+            return jax.jit(infer)
+
+    infer = _cached(key, build)
 
     preds = []
     coco_preds = {}
     n_images = 0
     fwd_time = 0.0
-    it = eval_batches(dataset, batch_size)
+    from ..data.pipeline import prefetch
+    it = prefetch(eval_batches(dataset, batch_size))  # decode overlaps device
     if progress:
         import tqdm
         it = tqdm.tqdm(it, desc="evaluating")
