@@ -55,7 +55,8 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
     """Run the full eval loop. Returns dict with coco stats (12,), ap, lamr,
     fps, curves, and per-image predictions. ``int8``: selective PTQ inference
     calibrated on the first ``calibration_batches`` eval batches."""
-    key = (id(ir), conf_thres, iou_thres, multi_label, max_det,
+    ir_key = (ir.cfg_path, ir.num_layers, ir.second_index)
+    key = (ir_key, conf_thres, iou_thres, multi_label, max_det,
            str(compute_dtype), folded, int8)
 
     def _nms(io):
@@ -66,7 +67,7 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
     if int8:
         from ..models import quantize as Q
 
-        fold = _cached((id(ir), "fold"),
+        fold = _cached((ir_key, "fold"),
                        lambda: jax.jit(lambda v: graph.fold_batchnorm(ir, v)))
         fvars = fold(variables)
         cal = []
@@ -84,7 +85,7 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
                 return _nms(io)
             return jax.jit(infer)
     elif folded:
-        fold = _cached((id(ir), "fold"),
+        fold = _cached((ir_key, "fold"),
                        lambda: jax.jit(lambda v: graph.fold_batchnorm(ir, v)))
         run_vars = fold(variables)
 
