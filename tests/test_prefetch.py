@@ -13,16 +13,22 @@ def test_prefetch_preserves_order():
 
 def test_prefetch_overlaps():
     def slow_producer():
-        for i in range(4):
+        for i in range(6):
             time.sleep(0.05)
             yield i
+
+    # measured serial baseline in the same (possibly loaded) environment
+    t0 = time.perf_counter()
+    for _ in slow_producer():
+        time.sleep(0.05)
+    serial = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for _ in prefetch(slow_producer(), depth=2):
         time.sleep(0.05)  # consumer work overlaps producer work
-    elapsed = time.perf_counter() - t0
-    # serial would be ~0.4s; overlapped ~0.25s
-    assert elapsed < 0.38, elapsed
+    overlapped = time.perf_counter() - t0
+    # perfect overlap halves the time; require a clear relative win
+    assert overlapped < serial * 0.85, (overlapped, serial)
 
 
 def test_prefetch_propagates_errors():
