@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--int8", action="store_true",
                     help="post-training-quantized int8 inference path")
+    ap.add_argument("--int8-mode", default="chain",
+                    choices=("seed", "chain", "all"),
+                    help="PTQ plan: 3x3-only / int8 chains / all convs")
     args = ap.parse_args()
 
     ir = compile_cfg(cfg_path(args.model))
@@ -55,7 +58,8 @@ def main():
         cal = jnp.asarray(rng0.random((8, args.height, args.width, 3),
                                       np.float32), jnp.bfloat16)
         stats = Q.calibrate(ir, folded, [(cal, cal)])
-        folded = jax.jit(lambda f: Q.quantize(ir, f, stats))(folded)
+        folded = jax.jit(lambda f: Q.quantize(ir, f, stats,
+                                              mode=args.int8_mode))(folded)
         apply_fn = lambda p, a, b: Q.apply_quantized(  # noqa: E731
             ir, p, a, b, compute_dtype=jnp.bfloat16)[0]
     else:

@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--int8", action="store_true",
                    help="selective post-training int8 inference")
+    p.add_argument("--int8-mode", default="chain",
+                   choices=("seed", "chain", "all"),
+                   help="quantization plan: 3x3-only / int8 chains / all convs")
     opt = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -48,7 +51,7 @@ def main(argv=None):
         ir, variables, ds, batch_size=opt.batch_size,
         conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
         compute_dtype=jnp.float32 if opt.fp32 else jnp.bfloat16,
-        int8=opt.int8, progress=True)
+        int8=opt.int8, int8_mode=opt.int8_mode, progress=True)
 
     print(summarize(res["coco_stats"]))
     print(f"VOC Average Precision (VOC-AP)@[IoU = 0.5] = {res['ap'] * 100:.2f}%")

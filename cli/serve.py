@@ -77,6 +77,10 @@ def main(argv=None):
     p.add_argument("--weights", type=str, default="")
     p.add_argument("--img-size", type=int, default=512)
     p.add_argument("--conf-thres", type=float, default=0.1)
+    p.add_argument("--int8", action="store_true",
+                   help="serve the int8 PTQ path (calibrates on first request)")
+    p.add_argument("--int8-mode", default="chain",
+                   choices=("seed", "chain", "all"))
     p.add_argument("--port", type=int, default=8321)
     p.add_argument("--host", default="127.0.0.1")
     opt = p.parse_args(argv)
@@ -85,7 +89,8 @@ def main(argv=None):
 
     ir, variables = build_model(opt.cfg, opt.weights)
     predictor = Predictor(ir, variables, img_size=opt.img_size,
-                          conf_thres=opt.conf_thres, batch_buckets=(1,))
+                          conf_thres=opt.conf_thres, batch_buckets=(1,),
+                          int8=opt.int8, int8_mode=opt.int8_mode)
     server = ThreadingHTTPServer(
         (opt.host, opt.port),
         make_handler(predictor, os.path.basename(str(opt.cfg))))

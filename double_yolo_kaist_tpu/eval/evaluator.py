@@ -51,13 +51,14 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
                      multi_label: bool = False, compute_dtype=jnp.bfloat16,
                      folded: bool = True, max_det: int = 100,
                      progress: bool = False, int8: bool = False,
-                     calibration_batches: int = 2):
+                     int8_mode: str = "chain", calibration_batches: int = 2):
     """Run the full eval loop. Returns dict with coco stats (12,), ap, lamr,
     fps, curves, and per-image predictions. ``int8``: selective PTQ inference
-    calibrated on the first ``calibration_batches`` eval batches."""
+    calibrated on the first ``calibration_batches`` eval batches;
+    ``int8_mode``: quantization plan (models/quantize.plan_quantization)."""
     ir_key = (ir.cfg_path, ir.num_layers, ir.second_index)
     key = (ir_key, conf_thres, iou_thres, multi_label, max_det,
-           str(compute_dtype), folded, int8)
+           str(compute_dtype), folded, int8, int8_mode)
 
     def _nms(io):
         return NMS.non_max_suppression(
@@ -76,7 +77,8 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
             if len(cal) >= calibration_batches:
                 break
         stats = Q.calibrate(ir, fvars, cal, compute_dtype=compute_dtype)
-        run_vars = jax.jit(lambda f: Q.quantize(ir, f, stats))(fvars)
+        run_vars = jax.jit(lambda f: Q.quantize(ir, f, stats,
+                                                mode=int8_mode))(fvars)
 
         def build():
             def infer(params, xv, xl):

@@ -29,16 +29,70 @@ from . import graph as G
 from . import layers as L
 
 
-def _quantizable(ir: GraphIR, min_kernel: int = 3) -> set:
-    """Nodes worth quantizing: standard convs with kernel >= 3 (where the
-    FLOPs are). 1x1 convs, depthwise convs, and inception branches are
-    HBM-bandwidth-bound — the extra quant/dequant elementwise passes cost
-    more than the int8 MXU saving (measured end-to-end: blanket quantization
-    is SLOWER than bf16). Head predictor convs stay fp for accuracy."""
+def _standard_convs(ir: GraphIR) -> set:
+    """All standard convs that could carry int8 (head predictors excluded)."""
     skip = {ir.nodes[yi - 1].index for yi in ir.yolo_indices}
     return {n.index for n in ir.nodes
-            if n.kind == "conv" and n.groups == 1
-            and n.kernel >= min_kernel and n.index not in skip}
+            if n.kind == "conv" and n.groups == 1 and n.index not in skip}
+
+
+def _quantizable(ir: GraphIR, min_kernel: int = 3) -> set:
+    """Nodes worth quantizing unconditionally: standard convs with
+    kernel >= 3 (where the FLOPs are). 1x1 convs in isolation are
+    HBM-bandwidth-bound — the extra quant/dequant elementwise passes cost
+    more than the int8 MXU saving (measured end-to-end: blanket quantization
+    with per-conv quant/dequant is SLOWER than bf16). 1x1 convs *inside int8
+    chains* are handled by plan_quantization. Head predictor convs stay fp
+    for accuracy."""
+    return {i for i in _standard_convs(ir) if ir.nodes[i].kernel >= min_kernel}
+
+
+def _chain_edge(ir: GraphIR, i: int, targets: set) -> bool:
+    """True if node i's output can stay int8 into node i+1: node i is a
+    quantized conv whose output's ONLY consumer is node i+1 (not cached for
+    any route/shortcut), and node i+1 is a quantized conv reading the running
+    stream (not the LWIR entry)."""
+    j = i + 1
+    return (i in targets and j in targets
+            and ir.nodes[i].kind == "conv"
+            and i not in ir.consumed
+            and not ir.nodes[j].takes_second_input)
+
+
+def plan_quantization(ir: GraphIR, mode: str = "chain"):
+    """-> (targets: set of quantized conv indices,
+           emits: {producer index -> inv output scale key holder}).
+
+    Modes:
+      * ``seed``  — 3x3+ convs only, every conv dequantizes to bf16 (the
+        original selective scheme).
+      * ``chain`` — seed set, then fixpoint-expand with 1x1 convs whose
+        input arrives for free as int8 from the previous conv (sole-consumer
+        chains). Chain-internal activations are requantized to int8 in the
+        producing fusion instead of dequantized: halves the HBM write and
+        removes the consumer's quantize pass.
+      * ``all``   — every standard conv (head predictors still fp), with
+        chain emission wherever sole-consumer edges exist.
+    """
+    standard = _standard_convs(ir)
+    if mode == "seed":
+        targets = _quantizable(ir)
+        return targets, set()
+    if mode == "all":
+        targets = set(standard)
+    elif mode == "chain":
+        targets = set(_quantizable(ir))
+        changed = True
+        while changed:
+            changed = False
+            for j in sorted(standard - targets):
+                if _chain_edge(ir, j - 1, targets | {j}):
+                    targets.add(j)
+                    changed = True
+    else:
+        raise ValueError(f"unknown quantization mode {mode!r}")
+    emits = {i for i in targets if _chain_edge(ir, i, targets)}
+    return targets, emits
 
 
 # ------------------------------------------------------------------ calibrate
@@ -47,8 +101,9 @@ def make_calibration_fn(ir: GraphIR, compute_dtype=jnp.bfloat16):
     """Jitted fn(folded, xv, xl) -> {key: max|input|} for quantizable nodes.
 
     Runs the BN-folded forward, recording the absolute max of every
-    quantizable conv's input."""
-    targets = _quantizable(ir)
+    potentially-quantizable conv's input (all standard convs, so any
+    plan_quantization mode can be applied to the same stats)."""
+    targets = _standard_convs(ir)
 
     def fn(folded, xv, xl=None):
         params = folded["params"]
@@ -144,10 +199,18 @@ def _qconv_params(p, amax: float):
             "b": p["b"]}
 
 
-def quantize(ir: GraphIR, folded: dict, stats: dict) -> dict:
-    """BN-folded params + calibration stats -> quantized variables."""
+def quantize(ir: GraphIR, folded: dict, stats: dict,
+             mode: str = "chain") -> dict:
+    """BN-folded params + calibration stats -> quantized variables.
+
+    Chain-emitting convs carry ``out_inv_s`` = 127/amax(consumer input): the
+    producing fusion requantizes its activation straight to int8 with the
+    consumer's input scale, so the math is bit-identical to dequantize-then-
+    requantize while writing half the bytes. apply_quantized infers the
+    int8-input edges back from the presence of ``out_inv_s`` (the consumer is
+    always the next node), so the plan travels with the params pytree."""
     params = folded["params"]
-    targets = _quantizable(ir)
+    targets, emits = plan_quantization(ir, mode)
     q: dict = {}
     for node in ir.nodes:
         key = f"l{node.index}"
@@ -155,7 +218,11 @@ def quantize(ir: GraphIR, folded: dict, stats: dict) -> dict:
         if p is None:
             continue
         if node.index in targets and node.kind == "conv":
-            q[key] = {"q": _qconv_params(p, stats[key])}
+            qp = _qconv_params(p, stats[key])
+            if node.index in emits:
+                nxt = stats[f"l{node.index + 1}"]
+                qp["out_inv_s"] = np.float32(127.0 / max(nxt, 1e-12))
+            q[key] = {"q": qp}
         else:
             q[key] = {"fp": p}
     return {"params": q}
@@ -168,15 +235,22 @@ def _qconv(x, qp, *, stride=(1, 1), pad=0, groups=1, act="linear",
     # quant/dequant elementwise math stays in the activation dtype (bf16):
     # integers up to 256 are exact in bf16, so rounding adds at most ~0.5 LSB
     # of extra quantization noise while halving the elementwise bandwidth
-    xq = jnp.clip(jnp.round(x * qp["inv_sx"].astype(x.dtype)),
-                  -127, 127).astype(jnp.int8)
+    if x.dtype == jnp.int8:  # chain edge: producer already emitted int8
+        xq = x
+    else:
+        xq = jnp.clip(jnp.round(x * qp["inv_sx"].astype(x.dtype)),
+                      -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
         xq, qp["wq"], window_strides=stride, padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups, preferred_element_type=jnp.int32)
     y = (y.astype(out_dtype) * qp["scale"].astype(out_dtype)
          + qp["b"].astype(out_dtype))
-    return L.activate(act, y)
+    y = L.activate(act, y)
+    if "out_inv_s" in qp:  # stay int8 into the next (quantized) conv
+        y = jnp.clip(jnp.round(y * qp["out_inv_s"].astype(y.dtype)),
+                     -127, 127).astype(jnp.int8)
+    return y
 
 
 def apply_quantized(ir: GraphIR, qvars: dict, xv, xl=None, *,

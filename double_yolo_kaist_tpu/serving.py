@@ -26,7 +26,12 @@ class Predictor:
                  conf_thres: float = 0.1, iou_thres: float = 0.5,
                  multi_label: bool = True, max_det: int = 100,
                  batch_buckets: Sequence[int] = (1, 8, 32),
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, int8: bool = False,
+                 int8_mode: str = "chain"):
+        """``int8``: serve the post-training-quantized path
+        (models/quantize.py). Activation scales are calibrated on the first
+        batch served (production pattern: warm the server with representative
+        traffic); until then requests run the bf16 path."""
         self.ir = compile_cfg(cfg) if isinstance(cfg, str) else cfg
         self.folded = jax.jit(
             lambda v: graph.fold_batchnorm(self.ir, v))(variables)
@@ -35,16 +40,43 @@ class Predictor:
         self.conf_thres = conf_thres
         self._pre_cache: dict = {}
         self._dtype = compute_dtype
+        self._int8 = int8
+        self._int8_mode = int8_mode
+        self._qvars = None
 
-        def infer(params, xv, xl):
-            io, _ = graph.apply_folded(self.ir, params, xv, xl,
-                                       compute_dtype=compute_dtype)
+        def _nms(io):
             return NMS.non_max_suppression(
                 io.astype(jnp.float32), conf_thres=conf_thres,
                 iou_thres=iou_thres, multi_label=multi_label,
                 max_det=max_det)
 
+        def infer(params, xv, xl):
+            io, _ = graph.apply_folded(self.ir, params, xv, xl,
+                                       compute_dtype=compute_dtype)
+            return _nms(io)
+
         self._infer = jax.jit(infer)
+
+        if int8:
+            from .models import quantize as Q
+
+            def infer_q(params, xv, xl):
+                io, _ = Q.apply_quantized(self.ir, params, xv, xl,
+                                          compute_dtype=compute_dtype)
+                return _nms(io)
+
+            self._infer_q = jax.jit(infer_q)
+
+    def _ensure_calibrated(self, xv, xl):
+        """First-batch PTQ calibration; afterwards all traffic runs int8."""
+        if self._qvars is not None:
+            return
+        from .models import quantize as Q
+        stats = Q.calibrate(self.ir, self.folded, [(xv, xl)],
+                            compute_dtype=self._dtype)
+        self._qvars = jax.jit(
+            lambda f: Q.quantize(self.ir, f, stats,
+                                 mode=self._int8_mode))(self.folded)
 
     def _bucket(self, n: int) -> int:
         for b in self.batch_buckets:
@@ -88,7 +120,11 @@ class Predictor:
                     [chunk_l, np.zeros((padn,) + chunk_l.shape[1:],
                                        chunk_l.dtype)])
             xv, xl = fn(jnp.asarray(chunk_v), jnp.asarray(chunk_l))
-            det, valid = self._infer(self.folded, xv, xl)
+            if self._int8:
+                self._ensure_calibrated(xv, xl)
+                det, valid = self._infer_q(self._qvars, xv, xl)
+            else:
+                det, valid = self._infer(self.folded, xv, xl)
             det = np.asarray(det)
             valid = np.asarray(valid)
             for i in range(real):

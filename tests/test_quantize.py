@@ -105,3 +105,40 @@ def test_int8_evaluator_path(tmp_path):
                            calibration_batches=1)
     assert res["coco_stats"].shape == (12,)
     assert 0.0 <= res["ap"] <= 1.0
+
+
+def test_plan_modes_nest_and_emit_edges_are_sound():
+    ir, _, _ = _setup()
+    std = Q._standard_convs(ir)
+    seed, e0 = Q.plan_quantization(ir, "seed")
+    chain, e1 = Q.plan_quantization(ir, "chain")
+    full, e2 = Q.plan_quantization(ir, "all")
+    assert e0 == set()
+    assert seed <= chain <= full <= std
+    for targets, emits in ((chain, e1), (full, e2)):
+        for i in emits:
+            # emit edge: sole-consumer chain into the next quantized conv
+            assert i in targets and (i + 1) in targets
+            assert i not in ir.consumed
+            assert ir.nodes[i + 1].kind == "conv"
+            assert not ir.nodes[i + 1].takes_second_input
+
+
+def test_chain_and_all_match_fp():
+    """Requantized chains stay numerically equivalent to per-conv dequant."""
+    ir, folded, batches = _setup()
+    stats = Q.calibrate(ir, folded, batches, compute_dtype=jnp.float32)
+    xv, xl = batches[0]
+    io_fp, _ = graph.apply_folded(ir, folded, xv, xl,
+                                  compute_dtype=jnp.float32)
+    fp = np.asarray(io_fp, np.float32)
+    for mode in ("chain", "all"):
+        qvars = Q.quantize(ir, folded, stats, mode=mode)
+        io_q, _ = Q.apply_quantized(ir, qvars, xv, xl,
+                                    compute_dtype=jnp.float32)
+        q = np.asarray(io_q, np.float32)
+        d_conf = np.abs(fp[..., 4] - q[..., 4])
+        assert d_conf.max() < 0.06, (mode, d_conf.max())
+        cos = (fp.ravel() @ q.ravel()) / (
+            np.linalg.norm(fp) * np.linalg.norm(q) + 1e-9)
+        assert cos > 0.99, (mode, cos)

@@ -32,3 +32,31 @@ def test_predictor_batching():
             assert (boxes >= 0).all()
     # only the bucketed shapes were compiled (2 buckets -> <= 2 programs)
     assert len(pred._pre_cache) == 1
+
+
+def test_predictor_int8_first_batch_calibration():
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    kw = dict(img_size=64, conf_thres=0.005, batch_buckets=(4,),
+              compute_dtype=jnp.float32)
+    fp = Predictor(ir, variables, **kw)
+    q = Predictor(ir, variables, int8=True, **kw)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (4, 96, 128, 3), dtype=np.uint8)
+    assert q._qvars is None           # lazy: nothing calibrated yet
+    out_fp, out_q = fp(imgs, imgs), q(imgs, imgs)
+    assert q._qvars is not None
+    assert len(out_q) == len(out_fp) == 4
+    # detections from the quantized path track the fp path: every top-3 fp
+    # box must have a close quantized counterpart (marginal sub-threshold
+    # boxes may reorder, so the comparison is set-based, not positional)
+    for (bf, sf, cf), (bq, sq, cq) in zip(out_fp, out_q):
+        if not len(bq):
+            assert not len(bf)
+            continue
+        order = np.argsort(-sf)[:3]
+        for i in order:
+            d = np.abs(bq - bf[i]).max(axis=1)
+            j = int(np.argmin(d))
+            assert d[j] < 3.0, d[j]              # px at 96x128
+            assert abs(sq[j] - sf[i]) < 0.05

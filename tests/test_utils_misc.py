@@ -1,0 +1,55 @@
+"""Small utilities: check_file, model_info, class names, draw_boxes."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from double_yolo_kaist_tpu.config.ir import compile_cfg
+from double_yolo_kaist_tpu.models import graph
+from double_yolo_kaist_tpu.utils.draw import draw_boxes
+from double_yolo_kaist_tpu.utils.general import (check_file,
+                                                 load_class_names,
+                                                 model_info)
+
+TINY = os.path.join(os.path.dirname(__file__), "fixtures", "tiny_dyolov3.cfg")
+
+
+def test_check_file(tmp_path, monkeypatch):
+    f = tmp_path / "sub" / "thing.cfg"
+    f.parent.mkdir()
+    f.write_text("x")
+    assert check_file(str(f)) == str(f)
+    monkeypatch.chdir(tmp_path)
+    assert check_file("thing.cfg").endswith("thing.cfg")
+    with pytest.raises(FileNotFoundError):
+        check_file("definitely_missing.cfg")
+
+
+def test_model_info():
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    s = model_info(ir, variables)
+    assert "dual-stream" in s and "16 layers" in s
+    verbose = model_info(ir, variables, verbose=True)
+    assert verbose.count("l") > 10
+
+
+def test_class_names(tmp_path):
+    p = tmp_path / "names.txt"
+    p.write_text("person\n\n")
+    assert load_class_names(str(p)) == ["person"]
+
+
+def test_draw_boxes():
+    img = np.zeros((64, 64, 3), np.uint8)
+    out = draw_boxes(img, np.asarray([[5, 5, 40, 40]]), np.asarray([0.9]),
+                     np.asarray([0]), ["person"], conf_thres=0.1)
+    assert out.shape == img.shape
+    assert out.sum() > 0  # something was drawn
+    # below threshold -> untouched
+    out2 = draw_boxes(img, np.asarray([[5, 5, 40, 40]]), np.asarray([0.05]),
+                      np.asarray([0]), ["person"], conf_thres=0.1)
+    assert out2.sum() == 0
