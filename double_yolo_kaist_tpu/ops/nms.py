@@ -11,6 +11,7 @@ over. vmapped over the batch; everything stays in HBM/VMEM — zero host sync.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -20,10 +21,27 @@ from .boxes import box_iou, xywh2xyxy
 
 NEG_INF = -1e10
 
+# Optional Pallas kernel path (ops/pallas_nms.py): pool + IoU matrix stay
+# VMEM-resident. Compiled-validated on v5e with index-exact parity. Measured
+# (device-loop protocol, M=6000, K=512): standalone single-image kernel
+# 200us vs 386us XLA, but inside the full vmapped non_max_suppression it is
+# a wash — bs1 1.00x, bs4 1.10x, bs8 0.88x (XLA pipelines the per-image
+# fori_loops across the batch; a vmapped pallas_call serializes its grid).
+# Default OFF; DYK_NMS_PALLAS=1 opts in (small-batch serving). K is capped
+# by scoped VMEM (16 MB): the f32 IoU matrix is K^2 * 4 B plus
+# masks/intermediates, so K<=1024 is safe; larger pools use XLA regardless.
+_PALLAS_NMS_MAX_K = 1024
+_USE_PALLAS_NMS = os.environ.get("DYK_NMS_PALLAS", "0") != "0"
+
 
 def nms_indices(boxes, scores, iou_thres: float, max_det: int):
     """Greedy NMS over a fixed pool. boxes (K, 4) xyxy, scores (K,).
     Returns (idx (max_det,), valid (max_det,)). Invalid slots have idx 0."""
+    if (_USE_PALLAS_NMS and boxes.shape[0] <= _PALLAS_NMS_MAX_K
+            and jax.default_backend() == "tpu"):
+        from .pallas_nms import pallas_nms_indices
+        return pallas_nms_indices(boxes, scores, iou_thres=float(iou_thres),
+                                  max_det=int(max_det))
     iou = box_iou(boxes, boxes)           # (K, K) — one MXU-friendly batch op
 
     def body(_, carry):

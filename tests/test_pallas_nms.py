@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from double_yolo_kaist_tpu.ops.nms import nms_indices
@@ -39,3 +40,24 @@ def test_pallas_handles_fewer_than_maxdet():
     v = np.asarray(v_pl)
     assert v.sum() <= 10
     assert not v[v.argmin():].any() or v.all()  # valid prefix then padding
+
+
+def test_pallas_vmapped_matches_xla():
+    """The production path vmaps nms_indices over the batch; the Pallas
+    kernel must batch identically (jax adds a leading grid dim)."""
+    bs = 3
+    all_boxes, all_scores = [], []
+    for s in range(bs):
+        b, sc = _rand(128, 10 + s)
+        all_boxes.append(b)
+        all_scores.append(sc)
+    bb = jnp.asarray(np.stack(all_boxes))
+    ss = jnp.asarray(np.stack(all_scores))
+    i_ref, v_ref = jax.vmap(lambda b, s: nms_indices(b, s, 0.5, 32))(bb, ss)
+    i_pl, v_pl = jax.vmap(lambda b, s: pallas_nms_indices(
+        b, s, iou_thres=0.5, max_det=32, interpret=True))(bb, ss)
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_pl))
+    for k in range(bs):
+        vr = np.asarray(v_ref[k])
+        np.testing.assert_array_equal(np.asarray(i_ref[k])[vr],
+                                      np.asarray(i_pl[k])[vr])
