@@ -18,6 +18,7 @@ inline (static shapes; no lazy grid cache needed under XLA).
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -256,6 +257,14 @@ def fold_batchnorm(ir: GraphIR, variables: dict) -> dict:
     return {"params": params, "state": {}}
 
 
+# Concat-elimination rewrite (opt-in, DYK_SPLIT_CONCAT_CONV=1): a conv whose
+# input is a freshly-built route concat can instead sum partial convs over the
+# segments with input-channel-split weights — conv(concat(a, b), W) ==
+# conv(a, W[:, :, :Ca]) + conv(b, W[:, :, Ca:]) — skipping the concat
+# materialization (one full HBM write + read of the merged map).
+_SPLIT_CONCAT_CONV = os.environ.get("DYK_SPLIT_CONCAT_CONV", "0") != "0"
+
+
 def apply_folded(ir: GraphIR, variables: dict, xv, xl=None, *,
                  compute_dtype=None):
     """Inference forward on BN-folded params (see :func:`fold_batchnorm`)."""
@@ -270,10 +279,27 @@ def apply_folded(ir: GraphIR, variables: dict, xv, xl=None, *,
     raw_heads, decoded = [], []
 
     def cba(inp, p, node, act):
-        y = L.conv2d(inp, p["w"], stride=node.stride, pad=node.pad,
-                     groups=node.groups)
+        if isinstance(inp, list):  # deferred route concat -> split-weight sum
+            y, c0 = None, 0
+            for seg in inp:
+                w = p["w"][:, :, c0:c0 + seg.shape[-1], :]
+                part = L.conv2d(seg, w, stride=node.stride, pad=node.pad)
+                y = part if y is None else y + part
+                c0 += seg.shape[-1]
+        else:
+            y = L.conv2d(inp, p["w"], stride=node.stride, pad=node.pad,
+                         groups=node.groups)
         y = y + p["b"].astype(y.dtype)
         return L.activate(act, y.astype(dtype))
+
+    def _defer_concat(node) -> bool:
+        """Route concats feeding exactly one standard conv stay unmaterialized."""
+        nxt = (ir.nodes[node.index + 1]
+               if node.index + 1 < len(ir.nodes) else None)
+        return (_SPLIT_CONCAT_CONV and len(node.inputs) > 1
+                and node.index not in ir.consumed
+                and nxt is not None and nxt.kind == "conv"
+                and nxt.groups == 1 and not nxt.takes_second_input)
 
     for node in ir.nodes:
         key = f"l{node.index}"
@@ -307,7 +333,12 @@ def apply_folded(ir: GraphIR, variables: dict, xv, xl=None, *,
             x = L.upsample_nearest(x, node.scale)
         elif kind == "route":
             feats = [cache[j] for j in node.inputs]
-            x = feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=-1)
+            if len(feats) == 1:
+                x = feats[0]
+            elif _defer_concat(node):
+                x = feats          # consumed (only) by the next conv's cba
+            else:
+                x = jnp.concatenate(feats, axis=-1)
         elif kind == "shortcut":
             extras = [cache[j] for j in node.inputs]
             x = L.weighted_fusion(x, extras, p["w"] if node.weighted else None)

@@ -127,3 +127,29 @@ def test_param_count_matches_torch(pair):
     name, tm, ir, variables = pair
     t_count = sum(p.numel() for p in tm.parameters())
     assert graph.count_params(variables) == t_count
+
+
+def test_split_concat_conv_rewrite_parity():
+    """DYK_SPLIT_CONCAT_CONV: conv-over-concat == sum of split-weight partial
+    convs (route concat left unmaterialized), exactly."""
+    import jax
+    import numpy as np
+    from double_yolo_kaist_tpu.models import graph as G
+
+    tiny = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "tiny_dyolov3.cfg")
+    ir = compile_cfg(tiny, yolo_strides=[8, 4])
+    v = G.init(ir, jax.random.PRNGKey(3))
+    folded = G.fold_batchnorm(ir, v)
+    rng = np.random.default_rng(3)
+    xv = jnp.asarray(rng.random((2, 64, 64, 3), np.float32))
+    xl = jnp.asarray(rng.random((2, 64, 64, 3), np.float32))
+    prev = G._SPLIT_CONCAT_CONV
+    try:
+        G._SPLIT_CONCAT_CONV = False
+        a, _ = G.apply_folded(ir, folded, xv, xl, compute_dtype=jnp.float32)
+        G._SPLIT_CONCAT_CONV = True
+        b, _ = G.apply_folded(ir, folded, xv, xl, compute_dtype=jnp.float32)
+    finally:
+        G._SPLIT_CONCAT_CONV = prev
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
