@@ -72,7 +72,9 @@ def main():
     # The carry feeds back into the input so XLA cannot hoist the body.
     def loop(params, xv, xl, n):
         def body(_, acc):
-            io = apply_fn(params, xv + acc.astype(xv.dtype) * 0.0, xl)
+            # * 1e-18 (not * 0.0): XLA algebraically simplifies x + y*0 to x,
+            # which would unchain the carry and let it hoist the body
+            io = apply_fn(params, xv + (acc * 1e-18).astype(xv.dtype), xl)
             return jnp.sum(io[..., 4], dtype=jnp.float32)
         return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 

@@ -18,6 +18,10 @@ from double_yolo_kaist_tpu.config.ir import compile_cfg  # noqa: E402
 from double_yolo_kaist_tpu.models import graph  # noqa: E402
 from double_yolo_kaist_tpu.models import import_weights as IW  # noqa: E402
 
+# vendored hyperparameter defaults (repo-root configs/, tools/gen_configs.py)
+REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+DEFAULT_HYP = os.path.join(REPO_ROOT, "configs", "hyp.scratch.4.yaml")
+
 
 def build_model(cfg: str, weights: str = "", seed: int = 0,
                 cutoff: int = -1):

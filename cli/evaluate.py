@@ -12,7 +12,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from cli.common import build_model  # noqa: E402
+from cli.common import DEFAULT_HYP, build_model  # noqa: E402
 from double_yolo_kaist_tpu.config.parser import load_hyp, parse_data_cfg  # noqa: E402
 from double_yolo_kaist_tpu.data.dataset import KaistDataset  # noqa: E402
 from double_yolo_kaist_tpu.eval.coco_map import summarize  # noqa: E402
@@ -24,7 +24,7 @@ def main(argv=None):
     p.add_argument("--data", type=str, default="data/kaist_data.data")
     p.add_argument("--test-type", type=str, default="test",
                    choices=["test", "day_test", "night_test", "valid"])
-    p.add_argument("--hyp", type=str, default="config/hyp.scratch.4.yaml")
+    p.add_argument("--hyp", type=str, default=DEFAULT_HYP)
     p.add_argument("--img-size", type=int, default=512)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--cfg", type=str, required=True)

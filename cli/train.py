@@ -11,7 +11,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax.numpy as jnp  # noqa: E402
 
-from cli.common import build_model  # noqa: E402
+from cli.common import DEFAULT_HYP, build_model  # noqa: E402
 from double_yolo_kaist_tpu.config.parser import load_hyp, parse_data_cfg  # noqa: E402
 from double_yolo_kaist_tpu.data.dataset import KaistDataset  # noqa: E402
 from double_yolo_kaist_tpu.train.trainer import Trainer  # noqa: E402
@@ -22,7 +22,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--batch-size", type=int, default=16)
-    p.add_argument("--hyp", type=str, default="config/hyp.scratch.4.yaml")
+    p.add_argument("--hyp", type=str, default=DEFAULT_HYP)
     p.add_argument("--cfg", type=str, required=True)
     p.add_argument("--weights", type=str, default="")
     p.add_argument("--resume", type=str, default="",
@@ -53,6 +53,8 @@ def main(argv=None):
     p.add_argument("--remat-segments", type=int, default=0,
                    help="gradient-checkpoint the forward into N segments "
                         "(trades recompute for HBM at large batch)")
+    p.add_argument("--no-dp", action="store_true",
+                   help="disable the default data-parallel device mesh")
     opt = p.parse_args(argv)
 
     opt.cfg = check_file(opt.cfg)
@@ -89,7 +91,8 @@ def main(argv=None):
                       out_dir=opt.out_dir, name=opt.name,
                       accumulate=opt.accumulate, snowflake=opt.snow,
                       remat_segments=opt.remat_segments,
-                      steps_per_dispatch=opt.steps_per_dispatch)
+                      steps_per_dispatch=opt.steps_per_dispatch,
+                      data_parallel=not opt.no_dp)
     if opt.weights:
         trainer.state = trainer.state._replace(
             params=variables["params"], bn_state=variables["state"])

@@ -38,9 +38,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
-    """Device-put every array in the batch dict, sharded over its first dim."""
-    s = batch_sharding(mesh, axis)
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "data",
+                batch_dim: int = 0) -> dict:
+    """Device-put every array in the batch dict, sharded over ``batch_dim``
+    (0 for (B, ...) batches, 1 for (K, B, ...) stacked multi-step batches)."""
+    s = NamedSharding(mesh, P(*((None,) * batch_dim), axis))
     return {k: jax.device_put(v, s) for k, v in batch.items()}
 
 

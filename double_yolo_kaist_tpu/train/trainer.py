@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..data.pipeline import prefetch, train_batches
 from ..eval.evaluator import evaluate_dataset
 from ..models import graph
+from ..parallel import mesh as M
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.logging import MetricLogger, ResultsWriter, TB_TAGS, make_tb_writer
 from . import optim as OPT
@@ -63,7 +64,8 @@ class Trainer:
                  compute_dtype=jnp.bfloat16, out_dir: str = "runs",
                  name: str = "exp", accumulate: int = 1,
                  snowflake: bool = False, seed: int = 0,
-                 remat_segments: int = 0, steps_per_dispatch: int = 1):
+                 remat_segments: int = 0, steps_per_dispatch: int = 1,
+                 data_parallel: bool = True, devices=None):
         self.ir = ir
         self.hyp = dict(hyp)
         self.epochs = epochs
@@ -76,6 +78,20 @@ class Trainer:
         self.compute_dtype = compute_dtype
         self.out_dir = os.path.join(out_dir, name)
         os.makedirs(self.out_dir, exist_ok=True)
+
+        # Data parallelism is first-class (SURVEY §2.3, replacing the
+        # reference's dormant DDP, distributed_utils.py:300-334): a 1-D
+        # ("data",) mesh over the largest device-count that divides the
+        # batch, batch leaves sharded, state replicated. The step function
+        # is identical on 1 and N devices; XLA inserts the gradient psum.
+        self.mesh = None
+        if data_parallel:
+            devs = list(devices if devices is not None else jax.devices())
+            k = max(d for d in range(1, len(devs) + 1) if batch_size % d == 0)
+            if k > 1:
+                self.mesh = M.make_mesh(devs[:k])
+                print(f"data parallel: {k}-device mesh "
+                      f"({batch_size // k} images/device)", flush=True)
 
         steps_per_epoch = max(
             len(train_dataset) // batch_size if train_dataset else 100, 1)
@@ -143,9 +159,25 @@ class Trainer:
 
     # ------------------------------------------------------------------- train
 
+    def _place_state(self):
+        """Replicate training state over the mesh (idempotent; called before
+        stepping so resume/weight-graft paths land on the mesh too)."""
+        if self.mesh is not None:
+            self.state = TrainState(
+                *[M.replicate(x, self.mesh) if x is not None else None
+                  for x in self.state])
+
+    def _shard(self, batch: dict) -> dict:
+        if self.mesh is None:
+            return batch
+        # stacked multi-step batches are (K, B, ...): shard dim 1
+        bdim = 1 if self.steps_per_dispatch > 1 else 0
+        return M.shard_batch(batch, self.mesh, batch_dim=bdim)
+
     def train_one_epoch(self, epoch: int, print_freq: int = 50):
         from ..utils.profiling import StepTimer
 
+        self._place_state()
         logger = MetricLogger(print_freq=print_freq)
         timer = StepTimer()
         key = jax.random.fold_in(jax.random.PRNGKey(123), epoch)
@@ -160,7 +192,7 @@ class Trainer:
         last = {}
         for i, (batch, idx) in logger.log_every(batches, f"epoch {epoch}"):
             timer.data_ready()
-            self.state, metrics = self.step_fn(self.state, batch,
+            self.state, metrics = self.step_fn(self.state, self._shard(batch),
                                                jax.random.fold_in(key, i))
             last = {k: float(np.asarray(v).ravel()[-1])
                     for k, v in metrics.items()}

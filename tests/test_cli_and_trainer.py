@@ -146,3 +146,40 @@ def test_anchor_cfg_rewrite(tmp_path):
     _, blocks = parse_model_cfg(str(cfg))
     yolos = [b for b in blocks if b["type"] == "yolo"]
     np.testing.assert_array_equal(yolos[0]["anchors"], anchors)
+
+
+def test_trainer_dp_matches_single_device(mini_kaist, tmp_path):
+    """VERDICT r1 item #3: the production Trainer builds the mesh by default
+    and its metrics match the 1-device run (same init/seed/data order)."""
+    from double_yolo_kaist_tpu.config.ir import compile_cfg
+    from double_yolo_kaist_tpu.config.parser import parse_data_cfg
+    from double_yolo_kaist_tpu.data.dataset import KaistDataset
+    from double_yolo_kaist_tpu.train.trainer import Trainer
+
+    dd = parse_data_cfg(mini_kaist)
+    train_ds = KaistDataset(dd["train"], 64, 4, augment=True, hyp=HYP)
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+
+    def run(dp):
+        tr = Trainer(ir, HYP, epochs=1, batch_size=4, img_size=64,
+                     train_dataset=train_ds, compute_dtype=jnp.float32,
+                     out_dir=str(tmp_path), name=f"dp{int(dp)}",
+                     data_parallel=dp)
+        if dp:
+            assert tr.mesh is not None and tr.mesh.devices.size == 4
+        else:
+            assert tr.mesh is None
+        last, _ = tr.train_one_epoch(0)
+        return last, tr
+
+    m_dp, tr_dp = run(True)
+    m_1, _ = run(False)
+    for k in m_1:
+        assert np.isfinite(m_dp[k])
+        np.testing.assert_allclose(m_dp[k], m_1[k], rtol=2e-4, atol=1e-5,
+                                   err_msg=k)
+    # state stays shardable across epochs and checkpoints round-trip
+    tr_dp.save(os.path.join(str(tmp_path), "dp1", "ck"), 0)
+    tr_dp.load(os.path.join(str(tmp_path), "dp1", "ck"))
+    m2, _ = tr_dp.train_one_epoch(1)
+    assert np.isfinite(m2["loss"])

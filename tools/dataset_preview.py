@@ -37,7 +37,7 @@ from double_yolo_kaist_tpu.utils.draw import draw_boxes  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True)
-    ap.add_argument("--hyp", default="config/hyp.scratch.4.yaml")
+    ap.add_argument("--hyp", default=os.path.join(os.path.dirname(__file__), "..", "configs", "hyp.scratch.4.yaml"))
     ap.add_argument("--img-size", type=int, default=512)
     ap.add_argument("--snow", action="store_true")
     ap.add_argument("--n", type=int, default=4)
