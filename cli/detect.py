@@ -40,6 +40,8 @@ def main(argv=None):
     p.add_argument("--img-size", type=int, default=512)
     p.add_argument("--conf-thres", type=float, default=0.1)
     p.add_argument("--iou-thres", type=float, default=0.5)
+    p.add_argument("--merge-nms", action="store_true",
+                   help="merge-NMS (weighted box fusion) variant")
     p.add_argument("--max-images", type=int, default=40)
     p.add_argument("--out-dir", type=str, default="runs/detect")
     p.add_argument("--no-figure", action="store_true")
@@ -72,7 +74,7 @@ def main(argv=None):
                                    compute_dtype=jnp.bfloat16)
         return NMS.non_max_suppression(
             io.astype(jnp.float32), conf_thres=opt.conf_thres,
-            iou_thres=opt.iou_thres, multi_label=True)
+            iou_thres=opt.iou_thres, multi_label=True, merge=opt.merge_nms)
 
     os.makedirs(opt.out_dir, exist_ok=True)
     pre_cache = {}

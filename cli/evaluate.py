@@ -32,9 +32,13 @@ def main(argv=None):
     p.add_argument("--npy-path", type=str, default="")
     p.add_argument("--conf-thres", type=float, default=0.01)
     p.add_argument("--iou-thres", type=float, default=0.6)
+    p.add_argument("--merge-nms", action="store_true",
+                   help="merge-NMS (weighted box fusion) variant")
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--int8", action="store_true",
                    help="selective post-training int8 inference")
+    p.add_argument("--calibration-pct", type=float, default=100.0,
+                   help="int8 calibration percentile (100 = exact max-abs)")
     p.add_argument("--int8-mode", default="chain",
                    choices=("seed", "chain", "all"),
                    help="quantization plan: 3x3-only / int8 chains / all convs")
@@ -51,12 +55,15 @@ def main(argv=None):
         ir, variables, ds, batch_size=opt.batch_size,
         conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
         compute_dtype=jnp.float32 if opt.fp32 else jnp.bfloat16,
-        int8=opt.int8, int8_mode=opt.int8_mode, progress=True)
+        int8=opt.int8, int8_mode=opt.int8_mode, merge=opt.merge_nms,
+        calibration_pct=opt.calibration_pct,
+        progress=True)
 
     print(summarize(res["coco_stats"]))
     print(f"VOC Average Precision (VOC-AP)@[IoU = 0.5] = {res['ap'] * 100:.2f}%")
     print(f"Log Average Miss Rate (LAMR)@[IoU = 0.5] = {res['lamr'] * 100:.2f}%")
-    print(f"average detecting fps: {res['fps']:.2f}")
+    print(f"average detecting fps: {res['fps']:.2f} "
+          "(forward+NMS+fetch; reference evaluate.py times forward-only)")
     if opt.npy_path:
         np.save(opt.npy_path, {**res["curves"], "ap": res["ap"],
                                "lamr": res["lamr"]})

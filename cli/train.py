@@ -57,6 +57,12 @@ def main(argv=None):
                    help="disable the default data-parallel device mesh")
     opt = p.parse_args(argv)
 
+    # multi-host opt-in (DYK_DISTRIBUTED=1 + JAX coordinator env vars);
+    # single-process behavior unchanged
+    from double_yolo_kaist_tpu.parallel.multihost import \
+        maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     opt.cfg = check_file(opt.cfg)
     opt.data = check_file(opt.data)
     opt.hyp = check_file(opt.hyp)

@@ -214,17 +214,31 @@ def random_affine_batch(key, v_imgs, l_imgs, labels, lmask, *,
 
 # -------------------------------------------------------------- mosaic-4
 
-def mosaic4(key, v_imgs, l_imgs, labels, lmask, img_size: int):
+def mosaic4(key, v_imgs, l_imgs, labels, lmask, img_size: int, pool=None):
     """Mosaic ("quadra") batch transform: group each image with 3 random
     partners around a random center in a (2s, 2s) canvas
     (reference kaist_dataset.py:213-286). Inputs are the already size-s
     squares produced by load_image+resize; labels (B, T, 5) absolute xyxy in
-    the s x s frame. Output: (B, 2s, 2s, C) canvases + (B, 4T, 5) labels."""
+    the s x s frame. Output: (B, 2s, 2s, C) canvases + (B, 4T, 5) labels.
+
+    ``pool``: optional (v_pool, l_pool, lab_pool, m_pool) of R extra partner
+    candidates (same tile shape). The reference samples mosaic partners from
+    the WHOLE dataset (kaist_dataset.py:230); a device-resident pool of
+    recent batches widens the partner distribution toward that without extra
+    host decode (see pipeline.train_batches)."""
     B, s = v_imgs.shape[0], img_size
     k_center, k_partner = jax.random.split(key)
     centers = jax.random.randint(k_center, (B, 2), int(s * 0.5),
                                  int(s * 1.5) + 1)
-    partners = jax.random.randint(k_partner, (B, 3), 0, B)
+    n_cand = B
+    if pool is not None:
+        v_pool, l_pool, lab_pool, m_pool = pool
+        v_imgs = jnp.concatenate([v_imgs, v_pool.astype(v_imgs.dtype)], 0)
+        l_imgs = jnp.concatenate([l_imgs, l_pool.astype(l_imgs.dtype)], 0)
+        labels = jnp.concatenate([labels, lab_pool], 0)
+        lmask = jnp.concatenate([lmask, m_pool], 0)
+        n_cand = v_imgs.shape[0]
+    partners = jax.random.randint(k_partner, (B, 3), 0, n_cand)
     idx = jnp.concatenate([jnp.arange(B)[:, None], partners], axis=1)  # (B,4)
 
     def place_one(vi, li, lab, lm, center):

@@ -40,7 +40,7 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
     h1, w1 = int(src_hw[0] * r), int(src_hw[1] * r)
 
     @jax.jit
-    def fn(key, v_u8, l_u8, labels, lmask):
+    def fn(key, v_u8, l_u8, labels, lmask, pool=None):
         k_mosaic, k_cut, k_affine, k_hsv, k_flip = jax.random.split(key, 5)
         v = A.resize_bilinear(v_u8, h1, w1)
         l = A.resize_bilinear(l_u8, h1, w1)
@@ -52,7 +52,15 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
         lab = jnp.stack([labels[..., 0], cx - bw / 2, cy - bh / 2,
                          cx + bw / 2, cy + bh / 2], -1)
 
-        v4, l4, lab4, m4 = A.mosaic4(k_mosaic, v, l, lab, lmask, s)
+        # exported tiles: this batch becomes a future partner-pool entry
+        # (uint8 to quarter the HBM footprint; the reference's tiles are
+        # uint8 at this stage too, kaist_dataset.py:188-208)
+        tiles = (jnp.clip(jnp.round(v), 0, 255).astype(jnp.uint8),
+                 jnp.clip(jnp.round(l), 0, 255).astype(jnp.uint8),
+                 lab, lmask)
+
+        v4, l4, lab4, m4 = A.mosaic4(k_mosaic, v, l, lab, lmask, s,
+                                     pool=pool)
 
         if snowflake:
             v4 = clahe_batch(jnp.clip(jnp.round(v4), 0, 255)
@@ -76,7 +84,7 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
         v4, l4, targets = A.flip_lr(k_flip, v4, l4, targets)
         targets = jnp.where(m4[..., None], targets, 0.0)
         return {"v": v4 / 255.0, "l": l4 / 255.0,
-                "targets": targets, "tmask": m4}
+                "targets": targets, "tmask": m4}, tiles
 
     return fn
 
@@ -153,19 +161,28 @@ def make_letterbox_fn(src_hw, dst_hw, scale_up: bool = True,
 def train_batches(dataset, batch_size: int, key, *, img_size,
                   hyp: dict, snowflake: bool = False,
                   max_targets_per_img: int = 16, shuffle: bool = True,
-                  drop_last: bool = True, seed_epoch: int = 0):
+                  drop_last: bool = True, seed_epoch: int = 0,
+                  partner_pool_batches: int = 3):
     """Yield jitted-augmented device batches for one epoch.
 
     ``img_size`` may be an int or a list of bucket sizes; with a list, the
     size is drawn per batch (multi-scale training, reference train.py:46-59 /
     kaist_train_eval_utils.py:58-71) — each bucket is a separately cached
-    XLA program, so no re-jit churn."""
+    XLA program, so no re-jit churn.
+
+    ``partner_pool_batches``: mosaic partners are drawn from the current
+    batch PLUS a device-resident ring of the last P batches' tiles. The
+    reference samples partners from the whole dataset
+    (kaist_dataset.py:230); the ring widens the partner distribution toward
+    that (epoch-wide over time, since the order is shuffled) at zero extra
+    host decode. 0 disables (intra-batch partners only)."""
     n = len(dataset)
     src_hw = tuple(int(x) for x in dataset.shapes[0][::-1])
     sizes = [img_size] if isinstance(img_size, int) else list(img_size)
     augs = {s: make_train_augment_fn(src_hw, s, hyp, snowflake=snowflake,
                                      max_targets_per_img=max_targets_per_img)
             for s in sizes}
+    rings: dict = {s: [] for s in sizes}   # size -> list of tile tuples
     order = np.arange(n)
     rng = np.random.default_rng(seed_epoch)
     if shuffle:
@@ -179,9 +196,21 @@ def train_batches(dataset, batch_size: int, key, *, img_size,
         labels = [dataset.labels[i] for i in idx]
         t, m = pad_labels(labels, max_targets_per_img)
         sub = jax.random.fold_in(key, b0)
-        aug = augs[sizes[int(rng.integers(len(sizes)))]]
-        yield aug(sub, jnp.asarray(np.stack(vs)), jnp.asarray(np.stack(ls)),
-                  jnp.asarray(t), jnp.asarray(m)), idx
+        size = sizes[int(rng.integers(len(sizes)))]
+        ring = rings[size]
+        # static pool shape: only attach once the ring is full
+        pool = None
+        if partner_pool_batches > 0 and len(ring) == partner_pool_batches:
+            pool = tuple(jnp.concatenate([r[j] for r in ring], 0)
+                         for j in range(4))
+        batch, tiles = augs[size](
+            sub, jnp.asarray(np.stack(vs)), jnp.asarray(np.stack(ls)),
+            jnp.asarray(t), jnp.asarray(m), pool)
+        if partner_pool_batches > 0:
+            ring.append(tiles)
+            if len(ring) > partner_pool_batches:
+                ring.pop(0)
+        yield batch, idx
 
 
 def prefetch(iterator, depth: int = 2):

@@ -51,19 +51,21 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
                      multi_label: bool = False, compute_dtype=jnp.bfloat16,
                      folded: bool = True, max_det: int = 100,
                      progress: bool = False, int8: bool = False,
-                     int8_mode: str = "chain", calibration_batches: int = 2):
+                     int8_mode: str = "chain", calibration_batches: int = 2,
+                     calibration_pct: float = 100.0, merge: bool = False):
     """Run the full eval loop. Returns dict with coco stats (12,), ap, lamr,
     fps, curves, and per-image predictions. ``int8``: selective PTQ inference
     calibrated on the first ``calibration_batches`` eval batches;
     ``int8_mode``: quantization plan (models/quantize.plan_quantization)."""
     ir_key = (ir.cfg_path, ir.num_layers, ir.second_index)
     key = (ir_key, conf_thres, iou_thres, multi_label, max_det,
-           str(compute_dtype), folded, int8, int8_mode)
+           str(compute_dtype), folded, int8, int8_mode, merge)
 
     def _nms(io):
         return NMS.non_max_suppression(
             io.astype(jnp.float32), conf_thres=conf_thres,
-            iou_thres=iou_thres, multi_label=multi_label, max_det=max_det)
+            iou_thres=iou_thres, multi_label=multi_label, max_det=max_det,
+            merge=merge)
 
     if int8:
         from ..models import quantize as Q
@@ -76,7 +78,8 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
             cal.append((v, l))
             if len(cal) >= calibration_batches:
                 break
-        stats = Q.calibrate(ir, fvars, cal, compute_dtype=compute_dtype)
+        stats = Q.calibrate(ir, fvars, cal, compute_dtype=compute_dtype,
+                            pct=calibration_pct)
         run_vars = jax.jit(lambda f: Q.quantize(ir, f, stats,
                                                 mode=int8_mode))(fvars)
 
@@ -144,9 +147,13 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
     preds.sort(key=lambda p: -p["conf"])
     ap_lamr = compute_ap_lamr(preds, dataset.labels, dataset.shapes)
     coco_stats = evaluate_coco(coco_preds, dataset.coco_ground_truth())
+    # NB: this times forward + NMS + device->host fetch (one fused program;
+    # splitting would add a tunnel round-trip per batch). The reference times
+    # forward-only (evaluate.py:70-74), so this fps is the CONSERVATIVE side
+    # of any comparison; bench.py measures forward-only throughput.
     fps = n_images / fwd_time if fwd_time > 0 else 0.0
     return {"coco_stats": coco_stats, "ap": ap_lamr["ap"],
-            "lamr": ap_lamr["lamr"], "fps": fps,
+            "lamr": ap_lamr["lamr"], "fps": fps, "fps_timed": "fwd+nms+fetch",
             "curves": {k: ap_lamr[k] for k in
                        ("recall", "precision", "fppi", "mr")},
             "predictions": coco_preds}

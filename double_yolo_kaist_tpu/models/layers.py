@@ -208,16 +208,34 @@ def max_pool(x, kernel: int, stride=(1, 1), pad: int = 0):
     )
 
 
+def _adaptive_bin_matrix(n: int, k: int):
+    """(k, n) averaging matrix with torch AdaptiveAvgPool bin edges:
+    bin i covers [floor(i*n/k), ceil((i+1)*n/k))."""
+    import numpy as np
+
+    a = np.zeros((k, n), np.float32)
+    for i in range(k):
+        lo, hi = (i * n) // k, -((-(i + 1) * n) // k)   # floor / ceil
+        a[i, lo:hi] = 1.0 / (hi - lo)
+    return jnp.asarray(a)
+
+
 def adaptive_avg_pool(x, out_size: int):
-    """AdaptiveAvgPool2d(output_size=k); exact for k==1 or evenly dividing maps."""
+    """AdaptiveAvgPool2d(output_size=k). Exact torch semantics for any
+    (h, w): evenly dividing maps use the cheap reshape-mean; the general
+    case contracts with static per-axis bin-average matrices (two small
+    matmuls — shapes are static under jit, so this stays MXU-friendly)."""
     b, h, w, c = x.shape
     if out_size == 1:
         return jnp.mean(x, axis=(1, 2), keepdims=True)
     if h % out_size == 0 and w % out_size == 0:
         x = x.reshape(b, out_size, h // out_size, out_size, w // out_size, c)
         return x.mean(axis=(2, 4))
-    raise NotImplementedError(
-        f"adaptive avgpool to {out_size} from {h}x{w} not supported")
+    ah = _adaptive_bin_matrix(h, out_size).astype(x.dtype)
+    aw = _adaptive_bin_matrix(w, out_size).astype(x.dtype)
+    # highest precision: bin weights like 1/3 must not round to bf16 on MXU
+    y = jnp.einsum("ph,bhwc->bpwc", ah, x, precision="highest")
+    return jnp.einsum("qw,bpwc->bpqc", aw, y, precision="highest")
 
 
 def upsample_nearest(x, scale: int):

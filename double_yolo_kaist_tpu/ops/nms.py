@@ -63,7 +63,7 @@ def nms_indices(boxes, scores, iou_thres: float, max_det: int):
 
 
 def _single_image_nms(pred, conf_thres, iou_thres, multi_label,
-                      top_k, max_det, min_wh, max_wh, agnostic):
+                      top_k, max_det, min_wh, max_wh, agnostic, merge):
     """pred (M, 5+nc): xywh, obj, cls. Returns ((max_det, 6) xyxy/conf/cls,
     valid (max_det,))."""
     nc = pred.shape[-1] - 5
@@ -91,11 +91,22 @@ def _single_image_nms(pred, conf_thres, iou_thres, multi_label,
 
     cand_boxes = boxes[box_idx]
     offset = jnp.zeros_like(cls_idx) if agnostic else cls_idx
-    keep, valid = nms_indices(cand_boxes + offset[:, None] * max_wh,
-                              top_scores, iou_thres, max_det)
+    off_boxes = cand_boxes + offset[:, None] * max_wh
+    keep, valid = nms_indices(off_boxes, top_scores, iou_thres, max_det)
     valid = valid & (top_scores[keep] > NEG_INF / 2)
 
-    det = jnp.concatenate([cand_boxes[keep],
+    kept_boxes = cand_boxes[keep]
+    if merge:
+        # merge-NMS / weighted box fusion (reference utils.py:449-456): each
+        # winner becomes the conf-weighted mean of every candidate whose
+        # class-offset IoU with it exceeds the threshold
+        overl = box_iou(off_boxes[keep], off_boxes) > iou_thres  # (max_det,K)
+        w = overl * jnp.maximum(top_scores, 0.0)[None, :]
+        den = w.sum(-1, keepdims=True)
+        merged = (w @ cand_boxes) / jnp.maximum(den, 1e-12)
+        kept_boxes = jnp.where(valid[:, None] & (den > 0), merged, kept_boxes)
+
+    det = jnp.concatenate([kept_boxes,
                            top_scores[keep, None],
                            cls_idx[keep, None]], axis=-1)
     det = jnp.where(valid[:, None], det, 0.0)
@@ -103,11 +114,12 @@ def _single_image_nms(pred, conf_thres, iou_thres, multi_label,
 
 
 @partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "multi_label",
-                                   "top_k", "max_det", "agnostic"))
+                                   "top_k", "max_det", "agnostic", "merge"))
 def non_max_suppression(pred, conf_thres: float = 0.1, iou_thres: float = 0.6,
                         multi_label: bool = True, top_k: int = 512,
                         max_det: int = 100, min_wh: float = 2.0,
-                        max_wh: float = 4096.0, agnostic: bool = False):
+                        max_wh: float = 4096.0, agnostic: bool = False,
+                        merge: bool = False):
     """Batched NMS on decoded predictions.
 
     Args:
@@ -116,6 +128,8 @@ def non_max_suppression(pred, conf_thres: float = 0.1, iou_thres: float = 0.6,
         utils.py:387-449 semantics (conf = obj*cls, class-offset batched NMS,
         top-``max_det`` detections).
       top_k: candidate pool per image before suppression (static).
+      merge: merge-NMS / weighted box fusion (reference utils.py:449-456's
+        ``merge=True`` path, off by default there too).
 
     Returns:
       det: (bs, max_det, 6) — x1, y1, x2, y2, conf, cls; zero-padded.
@@ -124,5 +138,5 @@ def non_max_suppression(pred, conf_thres: float = 0.1, iou_thres: float = 0.6,
     fn = partial(_single_image_nms, conf_thres=conf_thres,
                  iou_thres=iou_thres, multi_label=multi_label, top_k=top_k,
                  max_det=max_det, min_wh=min_wh, max_wh=max_wh,
-                 agnostic=agnostic)
+                 agnostic=agnostic, merge=merge)
     return jax.vmap(fn)(pred)

@@ -27,11 +27,15 @@ class Predictor:
                  multi_label: bool = True, max_det: int = 100,
                  batch_buckets: Sequence[int] = (1, 8, 32),
                  compute_dtype=jnp.bfloat16, int8: bool = False,
-                 int8_mode: str = "chain"):
+                 int8_mode: str = "chain", calibration_batches: int = 2,
+                 calibration_pct: float = 99.9):
         """``int8``: serve the post-training-quantized path
         (models/quantize.py). Activation scales are calibrated on the first
-        batch served (production pattern: warm the server with representative
-        traffic); until then requests run the bf16 path."""
+        ``calibration_batches`` batches served (production pattern: warm the
+        server with representative traffic); until then requests run the
+        bf16 path. ``calibration_pct``: percentile max-abs clipping
+        (99.9 default — a single hot pixel no longer owns the int8 grid;
+        100 = exact max-abs)."""
         self.ir = compile_cfg(cfg) if isinstance(cfg, str) else cfg
         self.folded = jax.jit(
             lambda v: graph.fold_batchnorm(self.ir, v))(variables)
@@ -43,6 +47,9 @@ class Predictor:
         self._int8 = int8
         self._int8_mode = int8_mode
         self._qvars = None
+        self._cal_batches: list = []
+        self._cal_needed = max(1, int(calibration_batches))
+        self._cal_pct = float(calibration_pct)
 
         def _nms(io):
             return NMS.non_max_suppression(
@@ -68,15 +75,21 @@ class Predictor:
             self._infer_q = jax.jit(infer_q)
 
     def _ensure_calibrated(self, xv, xl):
-        """First-batch PTQ calibration; afterwards all traffic runs int8."""
+        """Accumulate warm-up batches, then quantize. Returns True once the
+        int8 weights exist (traffic before that runs the bf16 path)."""
         if self._qvars is not None:
-            return
+            return True
+        self._cal_batches.append((xv, xl))
+        if len(self._cal_batches) < self._cal_needed:
+            return False
         from .models import quantize as Q
-        stats = Q.calibrate(self.ir, self.folded, [(xv, xl)],
-                            compute_dtype=self._dtype)
+        stats = Q.calibrate(self.ir, self.folded, self._cal_batches,
+                            compute_dtype=self._dtype, pct=self._cal_pct)
         self._qvars = jax.jit(
             lambda f: Q.quantize(self.ir, f, stats,
                                  mode=self._int8_mode))(self.folded)
+        self._cal_batches = []
+        return True
 
     def _bucket(self, n: int) -> int:
         for b in self.batch_buckets:
@@ -120,8 +133,7 @@ class Predictor:
                     [chunk_l, np.zeros((padn,) + chunk_l.shape[1:],
                                        chunk_l.dtype)])
             xv, xl = fn(jnp.asarray(chunk_v), jnp.asarray(chunk_l))
-            if self._int8:
-                self._ensure_calibrated(xv, xl)
+            if self._int8 and self._ensure_calibrated(xv, xl):
                 det, valid = self._infer_q(self._qvars, xv, xl)
             else:
                 det, valid = self._infer(self.folded, xv, xl)

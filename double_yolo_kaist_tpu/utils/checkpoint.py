@@ -55,6 +55,11 @@ def _unflatten_into(template, flat, prefix=""):
 def save_checkpoint(path: str, *, params, bn_state, opt_state=None,
                     step: int = 0, epoch: int = -1, best_map: float = 0.0,
                     training_results: str = "", ema=None):
+    # multi-host: only process 0 writes (reference save_on_master,
+    # distributed_utils.py:283-297)
+    from ..parallel.multihost import is_main_process
+    if not is_main_process():
+        return
     os.makedirs(path, exist_ok=True)
     tree = {"params": jax.device_get(params),
             "bn_state": jax.device_get(bn_state)}

@@ -84,6 +84,9 @@ class ResultsWriter:
         self.path = path
 
     def append(self, epoch: int, coco_stats, loss: float, lr: float):
+        from ..parallel.multihost import is_main_process
+        if not is_main_process():
+            return
         vals = [f"{float(v):.4f}" for v in coco_stats] + [
             f"{loss:.4f}", f"{lr:.6f}"]
         with open(self.path, "a") as f:
@@ -97,13 +100,20 @@ class ResultsWriter:
             return ""
 
     def write_text(self, text: str):
+        from ..parallel.multihost import is_main_process
+        if not is_main_process():
+            return
         with open(self.path, "w") as f:
             f.write(text)
 
 
 def make_tb_writer(logdir: str):
-    """TensorBoard SummaryWriter if available, else a no-op stub."""
+    """TensorBoard SummaryWriter if available, else a no-op stub.
+    Non-zero processes always get the no-op (multi-host write gating)."""
+    from ..parallel.multihost import is_main_process
     try:
+        if not is_main_process():
+            raise RuntimeError("non-main process: no TB writer")
         from torch.utils.tensorboard import SummaryWriter
         return SummaryWriter(log_dir=logdir)
     except Exception:

@@ -132,3 +132,69 @@ def test_full_nms_pipeline():
         np.testing.assert_allclose(got[:, :4], exp_boxes, rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(got[:, 4], exp_scores, rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(got[:, 5].astype(int), cls[cand][keep])
+
+
+def test_merge_nms_vs_numpy_oracle():
+    """merge=True (weighted box fusion) vs a numpy oracle of the reference's
+    merge path (utils.py:449-456: for each kept index i over candidate pool
+    n, weights = (IoU(offset_boxes[i], offset_boxes[n]) > thr) * score[n];
+    box[i] = sum_n w*box[n] / sum_n w). The reference hardcodes merge=False
+    locally, so the oracle re-implements those 5 lines."""
+    rng = np.random.default_rng(11)
+    bs, m, nc = 2, 300, 1
+    pred = np.zeros((bs, m, 5 + nc), np.float32)
+    # clustered boxes so merging actually changes coordinates
+    centers = rng.random((bs, 8, 2)) * 300 + 50
+    for b in range(bs):
+        for j in range(m):
+            c = centers[b, rng.integers(0, 8)]
+            pred[b, j, 0:2] = c + rng.normal(0, 3, 2)
+            pred[b, j, 2:4] = rng.random(2) * 30 + 20
+    pred[..., 4] = rng.random((bs, m))
+    pred[..., 5:] = rng.random((bs, m, nc))
+
+    det, valid = non_max_suppression(jnp.asarray(pred), conf_thres=0.3,
+                                     iou_thres=0.5, multi_label=False,
+                                     top_k=256, max_det=20, merge=True)
+    det, valid = np.asarray(det), np.asarray(valid)
+
+    for b in range(bs):
+        p = pred[b]
+        ok = (p[:, 4] > 0.3) & ((p[:, 2:4] > 2) & (p[:, 2:4] < 4096)).all(1)
+        conf = p[:, 4:5] * p[:, 5:]
+        best, cls = conf.max(1), conf.argmax(1)
+        ok &= best > 0.3
+        cand = np.where(ok)[0]
+        boxes = np.asarray(B.xywh2xyxy(jnp.asarray(p[cand, :4])))
+        off_boxes = boxes + cls[cand, None] * 4096.0
+        scores = best[cand]
+        keep = _numpy_greedy_nms(off_boxes, scores, 0.5)[:20]
+        # the reference's merge step (utils.py:451-456)
+        iou = np.asarray(B.box_iou(jnp.asarray(off_boxes[keep]),
+                                   jnp.asarray(off_boxes))) > 0.5
+        w = iou * scores[None, :]
+        exp_boxes = (w @ boxes) / w.sum(1, keepdims=True)
+        got = det[b][valid[b]]
+        assert len(got) == len(keep)
+        np.testing.assert_allclose(got[:, :4], exp_boxes, rtol=1e-4,
+                                   atol=1e-2)
+        np.testing.assert_allclose(got[:, 4], scores[keep], rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_array_equal(got[:, 5].astype(int), cls[cand][keep])
+
+
+def test_merge_nms_identity_when_isolated():
+    """Non-overlapping boxes: merge must be a no-op."""
+    pred = np.zeros((1, 4, 6), np.float32)
+    pred[0, :, 0] = [50, 200, 350, 500]
+    pred[0, :, 1] = [50, 200, 350, 500]
+    pred[0, :, 2:4] = 40
+    pred[0, :, 4] = [0.9, 0.8, 0.7, 0.6]
+    pred[0, :, 5] = 1.0
+    a, va = non_max_suppression(jnp.asarray(pred), conf_thres=0.3,
+                                multi_label=False, top_k=8, max_det=8)
+    b, vb = non_max_suppression(jnp.asarray(pred), conf_thres=0.3,
+                                multi_label=False, top_k=8, max_det=8,
+                                merge=True)
+    np.testing.assert_allclose(np.asarray(a)[np.asarray(va)],
+                               np.asarray(b)[np.asarray(vb)], rtol=1e-5)

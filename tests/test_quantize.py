@@ -142,3 +142,36 @@ def test_chain_and_all_match_fp():
         cos = (fp.ravel() @ q.ravel()) / (
             np.linalg.norm(fp) * np.linalg.norm(q) + 1e-9)
         assert cos > 0.99, (mode, cos)
+
+
+def test_percentile_calibration_clips_outliers():
+    """VERDICT r1 item #10: pct<100 ignores a single hot activation pixel
+    when setting int8 scales."""
+    import jax
+    import jax.numpy as jnp
+    from double_yolo_kaist_tpu.models import graph, quantize as Q
+
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    folded = jax.jit(lambda v: graph.fold_batchnorm(ir, v))(variables)
+    rng = np.random.default_rng(3)
+    x = rng.random((2, 64, 64, 3), np.float32) * 0.2
+    x[0, 5, 5, 0] = 1.0                       # lone outlier
+    xv = jnp.asarray(x)
+
+    s_max = Q.calibrate(ir, folded, [(xv, xv)], compute_dtype=jnp.float32)
+    s_pct = Q.calibrate(ir, folded, [(xv, xv)], compute_dtype=jnp.float32,
+                        pct=99.0)
+    # input-layer scale must shrink markedly under percentile clipping
+    k_in = [k for k in s_max if k in s_pct]
+    assert k_in
+    first = sorted(k_in, key=lambda k: int(k[1:].split("/")[0]
+                                           if "/" in k else k[1:]))[0]
+    assert s_pct[first] < 0.8 * s_max[first]
+    # and all stats stay positive / finite
+    assert all(np.isfinite(v) and v > 0 for v in s_pct.values())
+
+    # the quantized model still runs with percentile stats
+    qv = jax.jit(lambda f: Q.quantize(ir, f, s_pct, mode="chain"))(folded)
+    io, _ = Q.apply_quantized(ir, qv, xv, xv, compute_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(io)).all()

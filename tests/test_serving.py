@@ -34,18 +34,20 @@ def test_predictor_batching():
     assert len(pred._pre_cache) == 1
 
 
-def test_predictor_int8_first_batch_calibration():
+def test_predictor_int8_warmup_calibration():
     ir = compile_cfg(TINY, yolo_strides=[8, 4])
     variables = graph.init(ir, jax.random.PRNGKey(0))
     kw = dict(img_size=64, conf_thres=0.005, batch_buckets=(4,),
               compute_dtype=jnp.float32)
     fp = Predictor(ir, variables, **kw)
-    q = Predictor(ir, variables, int8=True, **kw)
+    q = Predictor(ir, variables, int8=True, calibration_batches=2, **kw)
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, (4, 96, 128, 3), dtype=np.uint8)
     assert q._qvars is None           # lazy: nothing calibrated yet
-    out_fp, out_q = fp(imgs, imgs), q(imgs, imgs)
-    assert q._qvars is not None
+    q(imgs, imgs)                     # warm-up batch 1: still bf16/fp path
+    assert q._qvars is None and len(q._cal_batches) == 1
+    out_fp, out_q = fp(imgs, imgs), q(imgs, imgs)   # batch 2 -> quantize
+    assert q._qvars is not None and not q._cal_batches
     assert len(out_q) == len(out_fp) == 4
     # detections from the quantized path track the fp path: every top-3 fp
     # box must have a close quantized counterpart (marginal sub-threshold
