@@ -38,7 +38,30 @@ def main():
     ap.add_argument("--int8-mode", default="chain",
                     choices=("seed", "chain", "all"),
                     help="PTQ plan: 3x3-only / int8 chains / all convs")
+    ap.add_argument("--check-ap", action="store_true",
+                    help="synthetic-data AP sanity instead of fps: overfit "
+                         "the tiny model and report final AP@0.5 (validates "
+                         "pipeline->loss->grad->decode->NMS->metrics; the "
+                         "parity half of the BASELINE north star)")
+    ap.add_argument("--check-ap-epochs", type=int, default=60)
     args = ap.parse_args()
+
+    if args.check_ap:
+        import importlib.util
+        import os
+        spec = importlib.util.spec_from_file_location(
+            "overfit_check", os.path.join(os.path.dirname(__file__),
+                                          "tools", "overfit_check.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        final_ap = mod.main(args.check_ap_epochs)
+        print(json.dumps({
+            "metric": "synthetic overfit AP@0.5 (tiny dual-stream model)",
+            "value": round(final_ap, 4),
+            "unit": "AP",
+            "vs_baseline": round(final_ap / 0.5, 2),   # gate: must exceed 0.5
+        }))
+        return
 
     ir = compile_cfg(cfg_path(args.model))
     # init + BN-fold as single jitted programs: the axon tunnel dispatches

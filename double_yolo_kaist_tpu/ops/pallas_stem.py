@@ -34,9 +34,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pieces(blk, TR, Wo, C):
+    # blk width Wc is padded to a multiple of 8 for DMA alignment; only the
+    # leading 2*(Wo+1) columns are real — the reshape keeps the pad columns
+    # in the (phase-split) W axis and the off:off+Wo slices never reach them
+    Wc = blk.shape[1]
     out = []
     for di in range(3):
-        r = blk[di:di + 2 * TR].reshape(TR, 2, Wo + 1, 2, C)[:, 0]
+        r = blk[di:di + 2 * TR].reshape(TR, 2, Wc // 2, 2, C)[:, 0]
         for dj in range(3):
             ph, off = dj % 2, dj // 2
             out.append(r[:, off:off + Wo, ph])
@@ -82,6 +86,137 @@ def _kernel_scratch(x_hbm, w_ref, b_ref, o_ref, scratch, pbuf, sem,
     _finish(y, b_ref, act, o_ref, TR, Wo, O)
 
 
+# --------------------------------------------------------------- v2: packed
+#
+# The v1 kernels above DMA (rows, W, C) windows; Mosaic requires the DMA'd
+# slice to be whole (8, 128) tiles, and C=32 < 128 lanes is rejected (and
+# would waste 4x bytes if padded). v2 sidesteps the problem: W*C = 640*32 =
+# 160*128 exactly, so the conv input is BITCAST-reshaped to (B, H, 160, 128)
+# — fully-packed lanes, aligned DMA, zero host-side repack. Each 128-lane
+# group then holds 4 pixels x 32 channels, and the 3x3/s2 conv becomes
+# THREE accumulating (TR*G, 128) @ (128, 192) matmuls (one per kernel row,
+# full MXU K-depth) against block-structured weight matrices:
+#   odd outputs  j=2t+1 read cols 4t+1..4t+3 -> group t, offsets p=1..3
+#   even outputs j=2t   read cols 4t-1..4t+1 -> group t (p=0,1) + group
+#                                               t-1 (p=3, the "carry")
+# The kernel assembles y by interleaving (even = main + carry shifted one
+# group down). Top image row is the only one needing the zero halo: program
+# t=0 DMAs one row fewer and zeroes scratch row 0.
+
+
+def _pack_w_s2(w):
+    """(3,3,32,64) HWIO -> (3, 128, 192) block matrices in the packed-group
+    basis (rows p*32+c). Columns: [0:64] even-main (output col 2t from
+    group-t offsets p=0,1), [64:128] odd (output col 2t+1 from p=1..3),
+    [128:192] even-carry (output col 2t from group (t-1) offset p=3).
+    Output cols 0:128 are already in the packed OUTPUT group order
+    [even|odd], so the kernel never interleaves. jnp ops: jit-traceable."""
+    O = w.shape[-1]
+    m = jnp.zeros((3, 128, 2 * O + O), w.dtype)
+    for di in range(3):
+        for p in range(4):
+            for dj in range(3):
+                if p <= 1 and dj == p + 1:          # even main: cols 4t,4t+1
+                    m = m.at[di, p * 32:(p + 1) * 32, 0:O].set(w[di, dj])
+                if p >= 1 and dj == p - 1:          # odd: cols 4t+1..4t+3
+                    m = m.at[di, p * 32:(p + 1) * 32, O:2 * O].set(w[di, dj])
+                if p == 3 and dj == 0:              # even carry: col 4t-1
+                    m = m.at[di, p * 32:(p + 1) * 32,
+                             2 * O:3 * O].set(w[di, dj])
+    return m
+
+
+def _kernel_packed(x_hbm, m_ref, b_ref, o_ref, scratch, sem,
+                   *, TR, G, O, act):
+    bi, t = pl.program_id(0), pl.program_id(1)
+    nrows = 2 * TR + 1
+
+    @pl.when(t == 0)
+    def _():
+        # top tile: rows -1..15; zero the halo row, DMA rows 0..15+1
+        scratch[0:1] = jnp.zeros_like(scratch[0:1])
+        cp = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(0, nrows - 1)],
+            scratch.at[pl.ds(1, nrows - 1)], sem)
+        cp.start()
+        cp.wait()
+
+    @pl.when(t != 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(2 * TR * t - 1, nrows)],
+            scratch.at[pl.ds(0, nrows)], sem)
+        cp.start()
+        cp.wait()
+
+    blk = scratch[...]                       # (2TR+2, G, 128)
+    rows = blk[:2 * TR + 2].reshape(TR + 1, 2, G, 128)
+    acc = None
+    for di in range(3):
+        if di == 0:
+            xd = rows[:TR, 0]                # rows 0,2,..,2TR-2
+        elif di == 1:
+            xd = rows[:TR, 1]                # rows 1,3,..
+        else:
+            xd = rows[1:TR + 1, 0]           # rows 2,4,..,2TR
+        lhs = xd.reshape(TR * G, 128)
+        part = jax.lax.dot_general(
+            lhs, m_ref[di], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+
+    p4 = acc.reshape(TR, G, 3 * O)
+    main = p4[:, :, 0:2 * O]                 # packed [even|odd], aligned
+    # even-carry: group t-1's p=3 tap belongs to group t's even half.
+    # Shift one group down (sublane roll within each row; the wrapped
+    # group-0 slot is the zero left-halo, masked via iota).
+    carry = jnp.concatenate(
+        [p4[:, :, 2 * O:3 * O], jnp.zeros((TR, G, O), jnp.float32)], axis=2)
+    carry = pltpu.roll(carry, shift=1, axis=1)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (TR, G, 2 * O), 1)
+    y = main + jnp.where(gidx > 0, carry, 0.0)
+    y = y + b_ref[0].astype(jnp.float32)
+    if act == "mish":
+        y = y * jnp.tanh(jax.nn.softplus(y))
+    elif act == "leaky":
+        y = jnp.where(y > 0, y, 0.1 * y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("act", "TR", "interpret"))
+def stem_conv_s2_packed(x, w, b, *, act="mish", TR=8, interpret=False):
+    """3x3 stride-2 pad-1 conv + bias + activation for C_in=32, NHWC.
+
+    Requirements: C == 32, W % 8 == 0 (so W*C % 128 == 0), H % (2*TR) == 0.
+    Exact same math as lax.conv_general_dilated + bias + act."""
+    B, H, W, C = x.shape
+    O = w.shape[-1]
+    assert C == 32 and (W * C) % 128 == 0 and H % (2 * TR) == 0, (H, W, C)
+    G = W * C // 128                          # groups per row (4 px each)
+    Ho, Wo = H // 2, W // 2
+    xq = x.reshape(B, H, G, 128)              # bitcast: packed lanes
+    m = _pack_w_s2(w.astype(x.dtype))
+    b2 = jnp.concatenate([b, b]).reshape(1, 2 * O)   # [even|odd] halves
+    y = pl.pallas_call(
+        functools.partial(_kernel_packed, TR=TR, G=G, O=O, act=act),
+        grid=(B, Ho // TR),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((3, 128, 3 * O), lambda b, t: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 2 * O), lambda b, t: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, TR, G, 2 * O), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        # output stays packed (each 128-lane group = [col 2t | col 2t+1]);
+        # the reshape back to NHWC is a free bitcast
+        out_shape=jax.ShapeDtypeStruct((B, Ho, G, 2 * O), x.dtype),
+        scratch_shapes=[pltpu.VMEM((2 * TR + 2, G, 128), x.dtype),
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(xq, m, b2)
+    return y.reshape(B, Ho, Wo, O)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("act", "TR", "variant", "interpret"))
 def stem_conv_s2(x, w, b, *, act="mish", TR=8, variant="acc",
@@ -89,9 +224,14 @@ def stem_conv_s2(x, w, b, *, act="mish", TR=8, variant="acc",
     B, H, W, C = x.shape
     O = w.shape[-1]
     Ho, Wo = H // 2, W // 2
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # pad width to a multiple of 8: HBM DMA slices must be tile-aligned on
+    # the sublane dim (Mosaic: "Slice shape along dimension 2 must be
+    # aligned to tiling (8)"). Left pad stays 1 (conv padding); the extra
+    # right columns are dead weight the kernel never reads.
+    Wc = -((-(W + 2)) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, Wc - W - 1), (0, 0)))
     wm = w.reshape(9 * C, O)
-    scratch = [pltpu.VMEM((2 * TR + 2, W + 2, C), x.dtype)]
+    scratch = [pltpu.VMEM((2 * TR + 2, Wc, C), x.dtype)]
     if variant == "scratch":
         kern = _kernel_scratch
         scratch.append(pltpu.VMEM((TR, Wo, 9 * C), x.dtype))

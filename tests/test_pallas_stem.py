@@ -7,6 +7,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from double_yolo_kaist_tpu.ops import pallas_stem as PS
 from double_yolo_kaist_tpu.ops.pallas_stem import stem_conv_s2
 
 
@@ -45,3 +46,19 @@ def test_stem_conv_odd_tile_rows():
     got = np.asarray(stem_conv_s2(x, w, b, act="leaky", TR=4, variant="acc",
                                   interpret=True), np.float32)
     assert np.abs(ref - got).max() < 2e-2 * max(1.0, np.abs(ref).max())
+
+
+def test_stem_conv_s2_packed_interpret():
+    """v2 packed-lane kernel: exact vs lax.conv (+bias+mish), fp32."""
+    rng = np.random.default_rng(5)
+    B, H, W, C, O = 2, 64, 80, 32, 64
+    x = jnp.asarray(rng.random((B, H, W, C), np.float32))
+    w = jnp.asarray(rng.random((3, 3, C, O), np.float32) * 0.05)
+    b = jnp.asarray(rng.random((O,), np.float32))
+    y = np.asarray(PS.stem_conv_s2_packed(x, w, b, act="mish",
+                                          interpret=True))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    ref = np.asarray(ref * jnp.tanh(jax.nn.softplus(ref)))
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)

@@ -99,6 +99,7 @@ def main(epochs: int = 60):
     print("AP trajectory:", [f"{a * 100:.1f}" for a in ap_history])
     assert ap_history[-1] > 0.5, "overfit failed to reach AP 50%"
     print("OVERFIT CHECK PASSED")
+    return float(ap_history[-1])
 
 
 if __name__ == "__main__":
