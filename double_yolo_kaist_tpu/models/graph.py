@@ -264,6 +264,31 @@ def fold_batchnorm(ir: GraphIR, variables: dict) -> dict:
 # materialization (one full HBM write + read of the merged map).
 _SPLIT_CONCAT_CONV = os.environ.get("DYK_SPLIT_CONCAT_CONV", "0") != "0"
 
+# Stem fusion (default ON, DYK_FUSE_STEM=0 to disable): each stream's
+# first two convs (3x3 s1 on the 3-ch image, then 3x3 s2) are rewritten
+# into the space-to-depth pair L.fused_stem_pair — measured 2.8x faster on
+# v5e (the thin-channel stems otherwise dominate the forward; see
+# layers.fused_stem_pair docstring).
+_FUSE_STEM = os.environ.get("DYK_FUSE_STEM", "1") != "0"
+
+
+def stem_fusion_pairs(ir: GraphIR) -> dict:
+    """Map {first conv index -> second conv index} of fusible stem pairs."""
+    pairs = {}
+    for n1 in ir.nodes:
+        if not (n1.kind == "conv" and n1.kernel == 3 and n1.stride == (1, 1)
+                and n1.pad == 1 and n1.groups == 1
+                and (n1.index == 0 or n1.takes_second_input)
+                and n1.index not in ir.consumed
+                and n1.index + 1 < len(ir.nodes)):
+            continue
+        n2 = ir.nodes[n1.index + 1]
+        if (n2.kind == "conv" and n2.kernel == 3 and n2.stride == (2, 2)
+                and n2.pad == 1 and n2.groups == 1
+                and not n2.takes_second_input and n2.in_ch == n1.out_ch):
+            pairs[n1.index] = n2.index
+    return pairs
+
 
 def apply_folded(ir: GraphIR, variables: dict, xv, xl=None, *,
                  compute_dtype=None):
@@ -301,13 +326,25 @@ def apply_folded(ir: GraphIR, variables: dict, xv, xl=None, *,
                 and nxt is not None and nxt.kind == "conv"
                 and nxt.groups == 1 and not nxt.takes_second_input)
 
+    stem_pairs = stem_fusion_pairs(ir) if _FUSE_STEM else {}
+    skip: set[int] = set()
     for node in ir.nodes:
         key = f"l{node.index}"
         kind = node.kind
         p = params.get(key)
-        if kind == "conv":
+        if node.index in skip:
+            pass                     # second half of a fused stem pair
+        elif kind == "conv":
             inp = x2 if node.takes_second_input else x
-            x = cba(inp, p, node, node.act)
+            if (node.index in stem_pairs and inp.shape[1] % 2 == 0
+                    and inp.shape[2] % 2 == 0):
+                n2 = ir.nodes[stem_pairs[node.index]]
+                p2 = params[f"l{n2.index}"]
+                x = L.fused_stem_pair(inp, p["w"], p["b"], node.act,
+                                      p2["w"], p2["b"], n2.act)
+                skip.add(n2.index)
+            else:
+                x = cba(inp, p, node, node.act)
         elif kind == "dwconv":
             y = L.conv2d(x, p["dw"]["w"], stride=node.stride, pad=1,
                          groups=node.in_ch)

@@ -30,8 +30,13 @@ from . import layers as L
 
 
 def _standard_convs(ir: GraphIR) -> set:
-    """All standard convs that could carry int8 (head predictors excluded)."""
+    """All standard convs that could carry int8 (head predictors excluded;
+    stem-fusion pairs too — they run through the faster s2d-fused bf16 path,
+    see graph.stem_fusion_pairs)."""
     skip = {ir.nodes[yi - 1].index for yi in ir.yolo_indices}
+    if G._FUSE_STEM:
+        pairs = G.stem_fusion_pairs(ir)
+        skip |= set(pairs) | set(pairs.values())
     return {n.index for n in ir.nodes
             if n.kind == "conv" and n.groups == 1 and n.index not in skip}
 
@@ -275,12 +280,23 @@ def apply_quantized(ir: GraphIR, qvars: dict, xv, xl=None, *,
         raise ValueError("dual-stream graph requires the LWIR input xl")
 
     cache, raw_heads, decoded = {}, [], []
+    stem_pairs = G.stem_fusion_pairs(ir) if G._FUSE_STEM else {}
+    skip: set = set()
     for node in ir.nodes:
         key = f"l{node.index}"
         entry = params.get(key, {})
-        if node.kind == "conv":
+        if node.index in skip:
+            pass                     # second half of a fused stem pair
+        elif node.kind == "conv":
             inp = x2 if node.takes_second_input else x
-            if "q" in entry:
+            if (node.index in stem_pairs and "fp" in entry
+                    and inp.shape[1] % 2 == 0 and inp.shape[2] % 2 == 0):
+                n2 = ir.nodes[stem_pairs[node.index]]
+                p, p2 = entry["fp"], params[f"l{n2.index}"]["fp"]
+                x = L.fused_stem_pair(inp, p["w"], p["b"], node.act,
+                                      p2["w"], p2["b"], n2.act)
+                skip.add(n2.index)
+            elif "q" in entry:
                 x = _qconv(inp, entry["q"], stride=node.stride, pad=node.pad,
                            groups=node.groups, act=node.act,
                            out_dtype=compute_dtype)

@@ -100,8 +100,17 @@ def _kernel_scratch(x_hbm, w_ref, b_ref, o_ref, scratch, pbuf, sem,
 #   even outputs j=2t   read cols 4t-1..4t+1 -> group t (p=0,1) + group
 #                                               t-1 (p=3, the "carry")
 # The kernel assembles y by interleaving (even = main + carry shifted one
-# group down). Top image row is the only one needing the zero halo: program
-# t=0 DMAs one row fewer and zeroes scratch row 0.
+# group down).
+#
+# v3 (this version, the first one that BEATS XLA on hardware): the v2
+# manual halo-DMA kernel compiled but ran 3.8 ms vs XLA 2.1 ms at bs16 —
+# ablation (tools/stem_probe.py) showed 2.3 ms was the *serialized* DMA
+# (start;wait with zero overlap) and 1.3 ms the f32 carry/mish epilogue.
+# v3 therefore (a) drops manual DMA entirely: the kernel takes the block
+# rows via an auto-pipelined BlockSpec (Pallas double-buffers HBM->VMEM
+# copies behind compute) and the single halo row (top tap of kernel row 0)
+# via a second, pre-sliced (B, T, G, 128) input, and (b) rolls/masks only
+# the O-lane carry slice instead of a 2*O-wide padded copy.
 
 
 def _pack_w_s2(w):
@@ -126,42 +135,20 @@ def _pack_w_s2(w):
     return m
 
 
-def _kernel_packed(x_hbm, m_ref, b_ref, o_ref, scratch, sem,
-                   *, TR, G, O, act):
-    bi, t = pl.program_id(0), pl.program_id(1)
-    nrows = 2 * TR + 1
-
-    @pl.when(t == 0)
-    def _():
-        # top tile: rows -1..15; zero the halo row, DMA rows 0..15+1
-        scratch[0:1] = jnp.zeros_like(scratch[0:1])
-        cp = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(0, nrows - 1)],
-            scratch.at[pl.ds(1, nrows - 1)], sem)
-        cp.start()
-        cp.wait()
-
-    @pl.when(t != 0)
-    def _():
-        cp = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(2 * TR * t - 1, nrows)],
-            scratch.at[pl.ds(0, nrows)], sem)
-        cp.start()
-        cp.wait()
-
-    blk = scratch[...]                       # (2TR+2, G, 128)
-    rows = blk[:2 * TR + 2].reshape(TR + 1, 2, G, 128)
+def _kernel_packed(x_ref, h_ref, m_ref, b_ref, o_ref, *, TR, G, O, act):
+    t = pl.program_id(1)
+    blk = x_ref[0]                            # (2TR, G, 128): abs rows 2TRt..
+    rows = blk.reshape(TR, 2, G, 128)
+    even, odd = rows[:, 0], rows[:, 1]
+    # out row i taps rel rows 2i-1 (halo for i=0), 2i, 2i+1
+    halo = jnp.where(t == 0, jnp.zeros_like(h_ref[0]), h_ref[0])  # (1,G,128)
     acc = None
-    for di in range(3):
-        if di == 0:
-            xd = rows[:TR, 0]                # rows 0,2,..,2TR-2
-        elif di == 1:
-            xd = rows[:TR, 1]                # rows 1,3,..
-        else:
-            xd = rows[1:TR + 1, 0]           # rows 2,4,..,2TR
-        lhs = xd.reshape(TR * G, 128)
+    for di, xd in enumerate((
+            jnp.concatenate([halo, odd[:TR - 1]], axis=0),
+            even,
+            odd)):
         part = jax.lax.dot_general(
-            lhs, m_ref[di], (((1,), (0,)), ((), ())),
+            xd.reshape(TR * G, 128), m_ref[di], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc = part if acc is None else acc + part
 
@@ -170,11 +157,11 @@ def _kernel_packed(x_hbm, m_ref, b_ref, o_ref, scratch, sem,
     # even-carry: group t-1's p=3 tap belongs to group t's even half.
     # Shift one group down (sublane roll within each row; the wrapped
     # group-0 slot is the zero left-halo, masked via iota).
-    carry = jnp.concatenate(
-        [p4[:, :, 2 * O:3 * O], jnp.zeros((TR, G, O), jnp.float32)], axis=2)
-    carry = pltpu.roll(carry, shift=1, axis=1)
-    gidx = jax.lax.broadcasted_iota(jnp.int32, (TR, G, 2 * O), 1)
-    y = main + jnp.where(gidx > 0, carry, 0.0)
+    carry = pltpu.roll(p4[:, :, 2 * O:3 * O], shift=1, axis=1)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (TR, G, O), 1)
+    carry = jnp.where(gidx > 0, carry, 0.0)
+    y = main + jnp.concatenate(
+        [carry, jnp.zeros((TR, G, O), jnp.float32)], axis=2)
     y = y + b_ref[0].astype(jnp.float32)
     if act == "mish":
         y = y * jnp.tanh(jax.nn.softplus(y))
@@ -184,23 +171,33 @@ def _kernel_packed(x_hbm, m_ref, b_ref, o_ref, scratch, sem,
 
 
 @functools.partial(jax.jit, static_argnames=("act", "TR", "interpret"))
-def stem_conv_s2_packed(x, w, b, *, act="mish", TR=8, interpret=False):
+def stem_conv_s2_packed(x, w, b, *, act="mish", TR=16, interpret=False):
     """3x3 stride-2 pad-1 conv + bias + activation for C_in=32, NHWC.
 
-    Requirements: C == 32, W % 8 == 0 (so W*C % 128 == 0), H % (2*TR) == 0.
-    Exact same math as lax.conv_general_dilated + bias + act."""
+    Requirements: C == 32, W*C % 128 == 0, (W*C/128) % 8 == 0 (sublane
+    tiling), H % (2*TR) == 0. Exact same math as
+    lax.conv_general_dilated + bias + act."""
     B, H, W, C = x.shape
     O = w.shape[-1]
-    assert C == 32 and (W * C) % 128 == 0 and H % (2 * TR) == 0, (H, W, C)
     G = W * C // 128                          # groups per row (4 px each)
+    assert C == 32 and (W * C) % 128 == 0 and G % 8 == 0 \
+        and H % (2 * TR) == 0, (H, W, C, TR)
     Ho, Wo = H // 2, W // 2
+    T = Ho // TR
     xq = x.reshape(B, H, G, 128)              # bitcast: packed lanes
+    # halo[b, t] = input row 2*TR*t - 1 (top tap of kernel row 0); the t=0
+    # entry is a dummy (kernel substitutes zeros for the image's top pad)
+    halo = jnp.concatenate(
+        [xq[:, :1], xq[:, 2 * TR - 1:H - 1:2 * TR]], axis=1)  # (B, T, G, 128)
     m = _pack_w_s2(w.astype(x.dtype))
     b2 = jnp.concatenate([b, b]).reshape(1, 2 * O)   # [even|odd] halves
     y = pl.pallas_call(
         functools.partial(_kernel_packed, TR=TR, G=G, O=O, act=act),
-        grid=(B, Ho // TR),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+        grid=(B, T),
+        in_specs=[pl.BlockSpec((1, 2 * TR, G, 128), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, G, 128), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
                   pl.BlockSpec((3, 128, 3 * O), lambda b, t: (0, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, 2 * O), lambda b, t: (0, 0),
@@ -210,10 +207,8 @@ def stem_conv_s2_packed(x, w, b, *, act="mish", TR=8, interpret=False):
         # output stays packed (each 128-lane group = [col 2t | col 2t+1]);
         # the reshape back to NHWC is a free bitcast
         out_shape=jax.ShapeDtypeStruct((B, Ho, G, 2 * O), x.dtype),
-        scratch_shapes=[pltpu.VMEM((2 * TR + 2, G, 128), x.dtype),
-                        pltpu.SemaphoreType.DMA],
         interpret=interpret,
-    )(xq, m, b2)
+    )(xq, halo, m, b2)
     return y.reshape(B, Ho, Wo, O)
 
 

@@ -51,7 +51,7 @@ def test_stem_conv_odd_tile_rows():
 def test_stem_conv_s2_packed_interpret():
     """v2 packed-lane kernel: exact vs lax.conv (+bias+mish), fp32."""
     rng = np.random.default_rng(5)
-    B, H, W, C, O = 2, 64, 80, 32, 64
+    B, H, W, C, O = 2, 64, 128, 32, 64
     x = jnp.asarray(rng.random((B, H, W, C), np.float32))
     w = jnp.asarray(rng.random((3, 3, C, O), np.float32) * 0.05)
     b = jnp.asarray(rng.random((O,), np.float32))

@@ -74,7 +74,13 @@ def test_int8_weights_really_int8():
             if isinstance(sub, dict) and "wq" in sub:
                 assert sub["wq"].dtype == jnp.int8
                 n_q += 1
-    assert n_q >= 6  # the tiny model's 3x3 convs are quantized
+    # the tiny model's 3x3 convs are quantized — minus the stem-fusion
+    # pairs (2 convs per stream), which run the faster fused bf16 path
+    from double_yolo_kaist_tpu.models import graph as G
+    pairs = G.stem_fusion_pairs(ir)
+    assert n_q >= 6 - 2 * len(pairs)
+    for i in list(pairs) + list(pairs.values()):
+        assert "fp" in qvars["params"][f"l{i}"]  # stems stay full precision
 
 
 def test_int8_evaluator_path(tmp_path):

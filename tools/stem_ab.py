@@ -154,6 +154,17 @@ def main():
             print(f"conv2 pallas FAILED: {type(e).__name__}: "
                   f"{str(e)[:500]}", flush=True)
 
+    if args.which in ("all", "packed"):
+        from double_yolo_kaist_tpu.ops.pallas_stem import stem_conv_s2_packed
+        for TR in (4, 8, 16, 32):
+            try:
+                res[f"conv2_packed_tr{TR}"] = timed_loop(
+                    functools.partial(stem_conv_s2_packed, act="mish", TR=TR),
+                    (x2, w2, b2), args.iters, f"conv2 pallas packed TR={TR}")
+            except Exception as e:
+                print(f"conv2 packed TR={TR} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:300]}", flush=True)
+
     print({k: round(v, 3) for k, v in res.items()})
 
 
