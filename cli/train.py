@@ -37,6 +37,10 @@ def main(argv=None):
     p.add_argument("--ema", action="store_true")
     p.add_argument("--single-cls", type=bool, default=True)
     p.add_argument("--anchor-cluster", action="store_true")
+    p.add_argument("--cache-images", choices=("ram", "disk"), default=None,
+                   help="cache decoded pairs (reference --cache-images; "
+                        "'disk' writes raw .npy next to the split file — "
+                        "epochs after the first skip JPEG decode entirely)")
     p.add_argument("--save-best", type=bool, default=True)
     p.add_argument("--notest", action="store_true")
     p.add_argument("--accumulate", type=int, default=1,
@@ -83,7 +87,8 @@ def main(argv=None):
 
     train_ds = KaistDataset(data_dict["train"], opt.img_size, opt.batch_size,
                             augment=True, hyp=hyp, snowflake=opt.snow,
-                            single_cls=opt.single_cls)
+                            single_cls=opt.single_cls,
+                            cache_images=opt.cache_images)
     val_ds = KaistDataset(data_dict["valid"], opt.img_size, opt.batch_size,
                           hyp=hyp, rect=True, single_cls=opt.single_cls)
 

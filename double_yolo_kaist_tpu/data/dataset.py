@@ -37,7 +37,8 @@ class KaistDataset:
                  batch_size: int = 4, augment: bool = False,
                  hyp: dict | None = None, rect: bool = False,
                  single_cls: bool = False, snowflake: bool = False,
-                 clahe: bool = False, pad: float = 0.0):
+                 clahe: bool = False, pad: float = 0.0,
+                 cache_images: str | None = None):
         data_txt_path = str(Path(data_txt_path))
         self.img_files = _read_split(data_txt_path)
         n = len(self.img_files)
@@ -98,6 +99,18 @@ class KaistDataset:
 
         self.labels = self._load_labels(single_cls)
 
+        # decoded-image cache (reference kaist_dataset.py --cache-images, in
+        # RAM): this 1-core-host port adds a "disk" mode — raw uint8 .npy
+        # pairs memmap-read in ~0.5 ms vs ~15 ms of JPEG decode, which is the
+        # train-loop bottleneck once augmentation runs on device.
+        assert cache_images in (None, "", "ram", "disk"), cache_images
+        self.cache_mode = cache_images or None
+        self._ram: list = [None] * n
+        self._disk_dir = None
+        if self.cache_mode == "disk":
+            self._disk_dir = Path(data_txt_path).with_suffix(".imgcache")
+            self._disk_dir.mkdir(exist_ok=True)
+
     # ------------------------------------------------------------------ labels
 
     def _load_labels(self, single_cls: bool):
@@ -139,7 +152,30 @@ class KaistDataset:
         return len(self.img_files)
 
     def load_pair(self, index: int):
-        """Decode one visible/LWIR pair -> (v, l) uint8 RGB HWC at native size."""
+        """Decode one visible/LWIR pair -> (v, l) uint8 RGB HWC at native
+        size, via the RAM/disk cache when enabled (decode happens at most
+        once per image; later epochs skip libjpeg entirely)."""
+        if self.cache_mode == "ram" and self._ram[index] is not None:
+            return self._ram[index]
+        if self.cache_mode == "disk":
+            p = self._disk_dir / f"{index}.npy"
+            if p.exists():
+                arr = np.load(p, mmap_mode="r")
+                return np.ascontiguousarray(arr[0]), \
+                    np.ascontiguousarray(arr[1])
+        pair = self._decode_pair(index)
+        if self.cache_mode == "ram":
+            self._ram[index] = pair
+        elif self.cache_mode == "disk":
+            v, l = pair
+            if v.shape == l.shape:
+                tmp = self._disk_dir / f".{index}.tmp"
+                with open(tmp, "wb") as f:
+                    np.save(f, np.stack([v, l]))
+                os.replace(tmp, self._disk_dir / f"{index}.npy")
+        return pair
+
+    def _decode_pair(self, index: int):
         import cv2
 
         v = cv2.imread(self.visible_files[index])
@@ -149,7 +185,8 @@ class KaistDataset:
                 f"missing pair for {self.img_files[index]}")
         if v.shape[:2] != l.shape[:2]:
             raise ValueError(f"modality size mismatch at {index}")
-        return v[:, :, ::-1], l[:, :, ::-1]     # BGR -> RGB
+        return np.ascontiguousarray(v[:, :, ::-1]), \
+            np.ascontiguousarray(l[:, :, ::-1])     # BGR -> RGB
 
     def coco_index(self, index: int):
         """(labels, (h, w)) without any processing — for COCO gt assembly

@@ -290,6 +290,157 @@ def stem_fusion_pairs(ir: GraphIR) -> dict:
     return pairs
 
 
+# s2d-basis regions (default ON, DYK_S2D_REGION=0 to disable): thin-channel
+# high-resolution stages (out_ch < 128) run in a phase-minor space-to-depth
+# basis so every conv keeps >= 128 lanes — see layers.s2d_conv. Planned per
+# (ir, input size); exact rewrite.
+_S2D_REGION = os.environ.get("DYK_S2D_REGION", "1") != "0"
+
+_S2D_OK_ACTS = None          # all activations are elementwise -> basis-safe
+
+
+def s2d_candidates(ir: GraphIR) -> set:
+    """Shape-independent superset of every possible s2d_plan(ir, h, w) key:
+    standard thin-output convs of the three transformable geometries. Used
+    by quantize() to keep fp kernels alongside int8 ones so apply_quantized
+    can transform-then-quantize at trace time."""
+    out = set()
+    for n in ir.nodes:
+        if n.kind != "conv" or n.groups != 1 or n.takes_second_input:
+            continue
+        k1 = n.kernel == 1 and n.stride == (1, 1)
+        k3s1 = n.kernel == 3 and n.stride == (1, 1) and n.pad == 1
+        k3s2 = n.kernel == 3 and n.stride == (2, 2) and n.pad == 1
+        if (k1 or k3s1) and n.out_ch < 128:
+            out.add(n.index)
+        elif k3s2:
+            out.add(n.index)       # potential exit
+    return out
+
+
+def s2d_plan(ir: GraphIR, h: int, w: int) -> dict:
+    """{conv index -> role} for thin-channel stages run in the s2d basis.
+
+    Roles (layers._s2d_w): e1/e3 enter the basis (plain input), i1/i3 stay
+    inside, x3 (a 3x3 stride-2 conv) exits back to plain NHWC for free.
+    A region opens at a conv whose output is thin (out_ch < 128) and
+    spatially even, and must close at an x3 exit; anything the basis can't
+    carry (pools, SE, heads, odd shapes, cross-region cache references)
+    unwinds the open region to plain. Regions whose members are cache-read
+    from outside the region are dropped in a fixpoint pass."""
+    from ..config.ir import infer_shapes
+
+    shapes = infer_shapes(ir, h, w)
+    stem_nodes = set()
+    if _FUSE_STEM:
+        sp = stem_fusion_pairs(ir)
+        stem_nodes = set(sp) | set(sp.values())
+
+    plan: dict[int, str] = {}
+    basis: dict[int, str] = {}          # node idx -> output basis 'p'|'s'
+    regions: list[set] = []
+    open_nodes: list[int] = []          # nodes marked 's' in the open region
+    cur = "p"
+
+    def unwind():
+        nonlocal cur
+        for j in open_nodes:
+            basis[j] = "p"
+            plan.pop(j, None)
+        open_nodes.clear()
+        cur = "p"
+
+    def want_s2d(node) -> bool:
+        c, hh, ww = shapes[node.index]
+        ih, iw = (shapes[node.index - 1][1:] if node.index else (h, w))
+        return (c < 128 and ih % 2 == 0 and iw % 2 == 0
+                and hh * ww >= 32 * 32)
+
+    for node in ir.nodes:
+        i, kind = node.index, node.kind
+        if kind == "conv":
+            inb = "p" if node.takes_second_input else cur
+            simple = (node.groups == 1 and not node.takes_second_input
+                      and i not in stem_nodes)
+            k1 = simple and node.kernel == 1 and node.stride == (1, 1)
+            k3s1 = (simple and node.kernel == 3 and node.stride == (1, 1)
+                    and node.pad == 1)
+            k3s2 = (simple and node.kernel == 3 and node.stride == (2, 2)
+                    and node.pad == 1)
+            if inb == "s":
+                if k3s2:                      # exit back to plain
+                    plan[i] = "x3"
+                    basis[i] = "p"
+                    cur = "p"
+                    regions.append(set(open_nodes) | {i})
+                    open_nodes.clear()
+                elif k1 or k3s1:              # stay in the basis
+                    plan[i] = "i1" if k1 else "i3"
+                    basis[i] = "s"
+                    open_nodes.append(i)
+                else:                          # basis can't carry this conv
+                    unwind()
+                    basis[i] = "p"
+            elif (k1 or k3s1) and want_s2d(node):
+                plan[i] = "e1" if k1 else "e3"  # open a region
+                basis[i] = "s"
+                cur = "s"
+                open_nodes.append(i)
+            else:
+                basis[i] = "p"
+                cur = "p"
+        elif kind == "route":
+            bs = {basis.get(j, "p") for j in node.inputs}
+            if len(bs) == 1:
+                basis[i] = bs.pop()
+                cur = basis[i]
+                if cur == "s":
+                    open_nodes.append(i)
+            else:                              # mixed-basis concat
+                unwind()
+                basis[i] = "p"
+        elif kind == "shortcut":
+            bs = {cur} | {basis.get(j, "p") for j in node.inputs}
+            if len(bs) == 1:
+                basis[i] = cur
+                if cur == "s":
+                    open_nodes.append(i)
+            else:
+                unwind()
+                basis[i] = "p"
+        elif kind == "dropout":
+            basis[i] = cur
+            if cur == "s":
+                open_nodes.append(i)
+        else:                                  # pools/SE/upsample/yolo/...
+            if cur == "s":
+                unwind()
+            basis[i] = "p"
+            cur = "p"
+    if open_nodes:
+        unwind()
+
+    # fixpoint: drop regions with cache-consumers outside themselves
+    consumers: dict[int, set] = {}
+    for n in ir.nodes:
+        for j in n.inputs:
+            consumers.setdefault(j, set()).add(n.index)
+    changed = True
+    while changed:
+        changed = False
+        for r in regions:
+            if not r:
+                continue
+            sset = {j for j in r if basis.get(j) == "s"}
+            if any(c not in r for j in sset for c in consumers.get(j, ())):
+                for j in r:
+                    basis[j] = "p"
+                    plan.pop(j, None)
+                r.clear()
+                changed = True
+    return plan
+
+
 def apply_folded(ir: GraphIR, variables: dict, xv, xl=None, *,
                  compute_dtype=None):
     """Inference forward on BN-folded params (see :func:`fold_batchnorm`)."""
@@ -327,6 +478,8 @@ def apply_folded(ir: GraphIR, variables: dict, xv, xl=None, *,
                 and nxt.groups == 1 and not nxt.takes_second_input)
 
     stem_pairs = stem_fusion_pairs(ir) if _FUSE_STEM else {}
+    plan = (s2d_plan(ir, xv.shape[1], xv.shape[2])
+            if _S2D_REGION and not _SPLIT_CONCAT_CONV else {})
     skip: set[int] = set()
     for node in ir.nodes:
         key = f"l{node.index}"
@@ -343,6 +496,9 @@ def apply_folded(ir: GraphIR, variables: dict, xv, xl=None, *,
                 x = L.fused_stem_pair(inp, p["w"], p["b"], node.act,
                                       p2["w"], p2["b"], n2.act)
                 skip.add(n2.index)
+            elif node.index in plan:
+                x = L.s2d_conv(inp, p["w"], p["b"], node.act,
+                               plan[node.index], dtype)
             else:
                 x = cba(inp, p, node, node.act)
         elif kind == "dwconv":

@@ -175,6 +175,85 @@ def fused_stem_pair(x, w1, b1, act1, w2, b2, act2):
     return activate(act2, (y2 + b2.astype(y2.dtype)).astype(dt))
 
 
+# --------------------------------------------------- s2d-basis conv variants
+#
+# Generalization of fused_stem_pair to whole thin-channel stages: tensors
+# inside a planned region (graph.s2d_plan) live in a PHASE-MINOR
+# space-to-depth basis — (B, H/2, W/2, 4C) with channel index 4c + (2p+q),
+# p/q the row/col phase. Phase-minor is the key invariant: concatenation
+# and leading-channel slicing (the Add-SL fusion rule) act on it exactly
+# like on plain channels, so routes/shortcuts need no changes. Only convs
+# transform, by role:
+#   e1: 1x1 s1 conv entering the basis  -> 2x2 s2 conv, C  -> 4O
+#   e3: 3x3 s1 p1 conv entering         -> 4x4 s2 conv (p 1,1), C -> 4O
+#   i1: 1x1 s1 inside                   -> 1x1 conv, kron(w, I4)
+#   i3: 3x3 s1 p1 inside                -> 3x3 s1 p1 conv, 4C -> 4O
+#   x3: 3x3 s2 p1 conv exiting to plain -> 2x2 s1 conv (p (1,0),(1,0))
+# All are exact rewrites (tests/test_stem_fusion.py); they keep every
+# lane-dim >= 128 on the thin stages where XLA otherwise runs at a
+# fraction of HBM bandwidth.
+
+def _s2d_w(w, role):
+    """Transform an HWIO kernel into its s2d-basis equivalent (see above)."""
+    C, O = w.shape[2], w.shape[3]
+    if role == "i1":
+        return jnp.kron(w[0, 0], jnp.eye(4, dtype=w.dtype))[None, None]
+    if role == "e1":
+        m = jnp.zeros((2, 2, C, 4 * O), w.dtype)
+        for p in range(2):
+            for q in range(2):
+                m = m.at[p, q, :, (2 * p + q)::4].set(w[0, 0])
+        return m
+    if role == "e3":
+        m = jnp.zeros((4, 4, C, 4 * O), w.dtype)
+        for p in range(2):
+            for q in range(2):
+                m = m.at[p:p + 3, q:q + 3, :, (2 * p + q)::4].set(w)
+        return m
+    if role == "i3":
+        m = jnp.zeros((3, 3, 4 * C, 4 * O), w.dtype)
+        for p in range(2):
+            for q in range(2):
+                for di in range(3):
+                    for dj in range(3):
+                        u, pp = divmod(p + di - 1, 2)
+                        v, qq = divmod(q + dj - 1, 2)
+                        m = m.at[u + 1, v + 1, (2 * pp + qq)::4,
+                                 (2 * p + q)::4].set(w[di, dj])
+        return m
+    if role == "x3":
+        m = jnp.zeros((2, 2, 4 * C, O), w.dtype)
+        for di in range(3):
+            for dj in range(3):
+                u, p = divmod(di - 1, 2)
+                v, q = divmod(dj - 1, 2)
+                m = m.at[u + 1, v + 1, (2 * p + q)::4, :].set(w[di, dj])
+        return m
+    raise ValueError(f"unknown s2d role {role!r}")
+
+
+_S2D_GEOM = {                      # role -> (stride, ((pt, pb), (pl, pr)))
+    "e1": (2, ((0, 0), (0, 0))),
+    "e3": (2, ((1, 1), (1, 1))),
+    "i1": (1, ((0, 0), (0, 0))),
+    "i3": (1, ((1, 1), (1, 1))),
+    "x3": (1, ((1, 0), (1, 0))),
+}
+
+
+def s2d_conv(x, w, b, act, role, dtype=None):
+    """Execute one planned conv in the s2d basis (+bias+activation)."""
+    dtype = dtype or x.dtype
+    wt = _s2d_w(w, role)
+    s, pad = _S2D_GEOM[role]
+    y = jax.lax.conv_general_dilated(
+        x, wt.astype(x.dtype), (s, s), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=_PRECISION,
+        preferred_element_type=_CONV_OUT_DTYPE)
+    bt = b if role == "x3" else jnp.repeat(b, 4)
+    return activate(act, (y + bt.astype(y.dtype)).astype(dtype))
+
+
 def batch_norm(x, params, state, train: bool, axis_name: str | None = None):
     """BatchNorm2d. In train mode returns (y, new_state) with batch statistics
     optionally synchronized across ``axis_name`` (cross-replica mean via psum —

@@ -228,6 +228,7 @@ def quantize(ir: GraphIR, folded: dict, stats: dict,
     always the next node), so the plan travels with the params pytree."""
     params = folded["params"]
     targets, emits = plan_quantization(ir, mode)
+    s2d_cands = G.s2d_candidates(ir) if G._S2D_REGION else set()
     q: dict = {}
     for node in ir.nodes:
         key = f"l{node.index}"
@@ -240,6 +241,11 @@ def quantize(ir: GraphIR, folded: dict, stats: dict,
                 nxt = stats[f"l{node.index + 1}"]
                 qp["out_inv_s"] = np.float32(127.0 / max(nxt, 1e-12))
             q[key] = {"q": qp}
+            if node.index in s2d_cands:
+                # keep the fp kernel too: apply_quantized transforms it into
+                # the s2d basis and re-quantizes at trace time when the
+                # input size puts this conv inside an s2d region
+                q[key]["fp"] = p
         else:
             q[key] = {"fp": p}
     return {"params": q}
@@ -270,6 +276,35 @@ def _qconv(x, qp, *, stride=(1, 1), pad=0, groups=1, act="linear",
     return y
 
 
+def _qconv_s2d(x, qp, fp, role, *, act="linear", out_dtype=jnp.bfloat16):
+    """Planned s2d conv on the int8 path: transform the fp kernel into the
+    s2d basis (layers._s2d_w), re-quantize per-output-channel at trace time
+    (pure weight math — XLA constant-folds it), and run int8 x int8 -> int32
+    with the same per-tensor input scale as the plain conv (s2d is a
+    permutation, so the calibrated amax is unchanged)."""
+    if x.dtype == jnp.int8:
+        xq = x
+    else:
+        xq = jnp.clip(jnp.round(x * qp["inv_sx"].astype(x.dtype)),
+                      -127, 127).astype(jnp.int8)
+    wt = L._s2d_w(fp["w"], role)
+    wq, sw = _quant_weight(wt)
+    s, pad = L._S2D_GEOM[role]
+    y = jax.lax.conv_general_dilated(
+        xq, wq, window_strides=(s, s), padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    sx = 1.0 / qp["inv_sx"]
+    b = fp["b"] if role == "x3" else jnp.repeat(fp["b"], 4)
+    y = (y.astype(out_dtype) * (sw * sx).astype(out_dtype)
+         + b.astype(out_dtype))
+    y = L.activate(act, y)
+    if "out_inv_s" in qp:
+        y = jnp.clip(jnp.round(y * qp["out_inv_s"].astype(y.dtype)),
+                     -127, 127).astype(jnp.int8)
+    return y
+
+
 def apply_quantized(ir: GraphIR, qvars: dict, xv, xl=None, *,
                     compute_dtype=jnp.bfloat16):
     """int8 inference forward -> (decoded (bs, total, no) f32, raw heads)."""
@@ -281,6 +316,8 @@ def apply_quantized(ir: GraphIR, qvars: dict, xv, xl=None, *,
 
     cache, raw_heads, decoded = {}, [], []
     stem_pairs = G.stem_fusion_pairs(ir) if G._FUSE_STEM else {}
+    plan = (G.s2d_plan(ir, xv.shape[1], xv.shape[2])
+            if G._S2D_REGION else {})
     skip: set = set()
     for node in ir.nodes:
         key = f"l{node.index}"
@@ -296,6 +333,14 @@ def apply_quantized(ir: GraphIR, qvars: dict, xv, xl=None, *,
                 x = L.fused_stem_pair(inp, p["w"], p["b"], node.act,
                                       p2["w"], p2["b"], n2.act)
                 skip.add(n2.index)
+            elif node.index in plan and "fp" in entry:
+                if "q" in entry:     # quantized s2d conv
+                    x = _qconv_s2d(inp, entry["q"], entry["fp"],
+                                   plan[node.index], act=node.act,
+                                   out_dtype=compute_dtype)
+                else:                # fp conv inside an s2d region
+                    x = L.s2d_conv(inp, entry["fp"]["w"], entry["fp"]["b"],
+                                   node.act, plan[node.index], compute_dtype)
             elif "q" in entry:
                 x = _qconv(inp, entry["q"], stride=node.stride, pad=node.pad,
                            groups=node.groups, act=node.act,

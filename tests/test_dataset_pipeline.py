@@ -63,6 +63,29 @@ def test_dataset_loads(mini_kaist):
     np.testing.assert_allclose(gt[0][0], [60, 38.4, 100, 89.6], atol=1e-4)
 
 
+@pytest.mark.parametrize("mode", ["ram", "disk"])
+def test_image_cache_modes(mini_kaist, mode):
+    """cache_images: cached reads bit-match fresh decodes (reference
+    kaist_dataset.py --cache-images; disk mode is this port's addition for
+    the 1-core host where JPEG decode bounds the train loop)."""
+    ds0 = KaistDataset(mini_kaist, img_size=64)
+    ds = KaistDataset(mini_kaist, img_size=64, cache_images=mode)
+    for i in (0, 3, 7):
+        v0, l0 = ds0.load_pair(i)
+        v1, l1 = ds.load_pair(i)     # populates the cache
+        v2, l2 = ds.load_pair(i)     # served from the cache
+        np.testing.assert_array_equal(v0, v1)
+        np.testing.assert_array_equal(l0, l1)
+        np.testing.assert_array_equal(v1, v2)
+        np.testing.assert_array_equal(l1, l2)
+    if mode == "disk":
+        assert (ds._disk_dir / "0.npy").exists()
+        # a fresh dataset object reuses the on-disk cache
+        ds2 = KaistDataset(mini_kaist, img_size=64, cache_images="disk")
+        v3, _ = ds2.load_pair(0)
+        np.testing.assert_array_equal(v3, ds0.load_pair(0)[0])
+
+
 def test_rect_batch_shapes(mini_kaist):
     ds = KaistDataset(mini_kaist, img_size=64, batch_size=4, rect=True)
     # aspect 128/160 = 0.8 -> batch shape ceil(0.8*64/32)*32 x 64

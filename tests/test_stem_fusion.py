@@ -46,6 +46,60 @@ def test_flagship_folded_fusion_parity(monkeypatch):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("role,kernel,stride", [
+    ("e1", 1, 1), ("e3", 3, 1), ("i1", 1, 1), ("i3", 3, 1), ("x3", 3, 2)])
+def test_s2d_conv_roles_exact(role, kernel, stride):
+    """Each s2d role reproduces its plain conv exactly (phase-minor)."""
+    rng = np.random.default_rng(3)
+    C, O, H, W = 16, 24, 16, 20
+    w = jnp.asarray(rng.standard_normal((kernel, kernel, C, O))
+                    .astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(O).astype(np.float32) * 0.1)
+
+    def to_s2d(t):   # plain (B,H,W,C) -> phase-minor s2d (B,H/2,W/2,4C)
+        B, hh, ww, c = t.shape
+        t = t.reshape(B, hh // 2, 2, ww // 2, 2, c)
+        return t.transpose(0, 1, 3, 5, 2, 4).reshape(B, hh // 2, ww // 2,
+                                                     4 * c)
+
+    if role in ("e1", "e3"):
+        x = jnp.asarray(rng.random((2, H, W, C), np.float32))
+        ref = to_s2d(L.activate("mish",
+                                L.conv2d(x, w, (1, 1), kernel // 2) + b))
+        got = L.s2d_conv(x, w, b, "mish", role)
+    elif role in ("i1", "i3"):
+        x = jnp.asarray(rng.random((2, H, W, C), np.float32))
+        ref = to_s2d(L.activate("mish",
+                                L.conv2d(x, w, (1, 1), kernel // 2) + b))
+        got = L.s2d_conv(to_s2d(x), w, b, "mish", role)
+    else:  # x3: s2d input, plain half-res output
+        x = jnp.asarray(rng.random((2, H, W, C), np.float32))
+        ref = L.activate("mish", L.conv2d(x, w, (2, 2), 1) + b)
+        got = L.s2d_conv(to_s2d(x), w, b, "mish", "x3")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flagship_s2d_region_parity(monkeypatch):
+    """apply_folded with the s2d region plan == plain executor."""
+    ir = compile_cfg(cfg_path(FLAGSHIP))
+    plan = graph.s2d_plan(ir, 64, 64)
+    assert len(plan) >= 7, len(plan)   # at least stage 1 of both streams
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    folded = graph.fold_batchnorm(ir, variables)
+    rng = np.random.default_rng(4)
+    xv = jnp.asarray(rng.random((1, 64, 64, 3), np.float32))
+    xl = jnp.asarray(rng.random((1, 64, 64, 3), np.float32))
+    monkeypatch.setattr(graph, "_S2D_REGION", False)
+    monkeypatch.setattr(graph, "_FUSE_STEM", False)
+    io_ref, _ = graph.apply_folded(ir, folded, xv, xl)
+    monkeypatch.setattr(graph, "_S2D_REGION", True)
+    monkeypatch.setattr(graph, "_FUSE_STEM", True)
+    io_s2d, _ = graph.apply_folded(ir, folded, xv, xl)
+    np.testing.assert_allclose(np.asarray(io_s2d), np.asarray(io_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_fusion_skipped_on_odd_input(monkeypatch):
     """Odd spatial dims fall back to the unfused path (no crash)."""
     ir = compile_cfg(cfg_path(FLAGSHIP))
