@@ -56,6 +56,17 @@ def set_conv_out_dtype(dtype):
 
 # ----------------------------------------------------------------- activations
 
+def _softplus(x):
+    """max(x,0) + log1p(exp(-|x|)) — identical to jax.nn.softplus for all
+    finite AND infinite x, minus its NaN-propagation select. That select
+    (``where(x != x, x, ...)``) survives into the compiled flagship as
+    packed-u32 isnan masks shuttled between fusions (profiled at ~1 ms per
+    head-scale mish cluster on v5e); activations on finite weights never
+    see NaNs, and even a NaN input still yields NaN here (max propagates
+    it), so dropping the select is behavior-preserving in practice."""
+    return jnp.maximum(x, 0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
 def _mish(x):
     """mish(x) = x * tanh(softplus(x)).
 
@@ -63,7 +74,7 @@ def _mish(x):
     (x * (u^2+2u)/(u^2+2u+2), u=e^x) was A/B-tested on v5e and is ~20%
     SLOWER end-to-end — XLA's fused tanh/softplus lowering beats the extra
     select/divide traffic. Keep the canonical form."""
-    return x * jnp.tanh(jax.nn.softplus(x))
+    return x * jnp.tanh(_softplus(x))
 
 
 def _hard_sigmoid(x):
@@ -125,6 +136,27 @@ def conv2d(x, w, stride=(1, 1), pad: int = 0, groups: int = 1):
     )
 
 
+def stem_pair_weights(w1, w2):
+    """(3,3,C,O1) + (3,3,O1,O2) -> the fused pair's kernels: the 4x4
+    stride-2 s2d-absorbing Wb (phase-major out) and the 2x2 stride-1 W2s
+    consuming that basis (see fused_stem_pair)."""
+    O1, O2 = w1.shape[-1], w2.shape[-1]
+    wb = jnp.zeros((4, 4, w1.shape[2], 4 * O1), w1.dtype)
+    for p in range(2):
+        for q in range(2):
+            wb = wb.at[p:p + 3, q:q + 3, :,
+                       (2 * p + q) * O1:(2 * p + q + 1) * O1].set(w1)
+    w2s = jnp.zeros((2, 2, 4 * O1, O2), w2.dtype)
+    for di in range(3):
+        for dj in range(3):
+            u, p = divmod(di - 1, 2)
+            v, q = divmod(dj - 1, 2)
+            w2s = w2s.at[u + 1, v + 1,
+                         (2 * p + q) * O1:(2 * p + q + 1) * O1, :].set(
+                w2[di, dj])
+    return wb, w2s
+
+
 def fused_stem_pair(x, w1, b1, act1, w2, b2, act2):
     """Space-to-depth fused stem: conv(3x3 s1 p1, C->O1)+act1 followed by
     conv(3x3 s2 p1, O1->O2)+act2 in one pass, with no full-resolution O1
@@ -147,22 +179,9 @@ def fused_stem_pair(x, w1, b1, act1, w2, b2, act2):
     Any elementwise activations are applied in the s2d basis (exact).
     Requires even H and W; the caller checks.
     """
-    O1, O2 = w1.shape[-1], w2.shape[-1]
     dt = x.dtype
-    wb = jnp.zeros((4, 4, w1.shape[2], 4 * O1), w1.dtype)
-    for p in range(2):
-        for q in range(2):
-            wb = wb.at[p:p + 3, q:q + 3, :,
-                       (2 * p + q) * O1:(2 * p + q + 1) * O1].set(w1)
+    wb, w2s = stem_pair_weights(w1, w2)
     b1s = jnp.tile(b1, 4)
-    w2s = jnp.zeros((2, 2, 4 * O1, O2), w2.dtype)
-    for di in range(3):
-        for dj in range(3):
-            u, p = divmod(di - 1, 2)
-            v, q = divmod(dj - 1, 2)
-            w2s = w2s.at[u + 1, v + 1,
-                         (2 * p + q) * O1:(2 * p + q + 1) * O1, :].set(
-                w2[di, dj])
     y1 = jax.lax.conv_general_dilated(
         x, wb.astype(dt), (2, 2), [(1, 2), (1, 2)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=_PRECISION,

@@ -114,7 +114,12 @@ def make_calibration_fn(ir: GraphIR, compute_dtype=jnp.bfloat16,
     discards activation outliers so the int8 grid spends its 254 steps on
     the bulk of the distribution (robust when calibrating on few batches).
     """
-    targets = _standard_convs(ir)
+    # track every standard conv INCLUDING stem-fusion pairs: the fused int8
+    # stem needs amax of the raw image (l<first>) and of the mid activation
+    # (l<second>'s input), which this plain-graph pass measures directly
+    skip = {ir.nodes[yi - 1].index for yi in ir.yolo_indices}
+    targets = {n.index for n in ir.nodes
+               if n.kind == "conv" and n.groups == 1 and n.index not in skip}
 
     def fn(folded, xv, xl=None):
         params = folded["params"]
@@ -229,6 +234,7 @@ def quantize(ir: GraphIR, folded: dict, stats: dict,
     params = folded["params"]
     targets, emits = plan_quantization(ir, mode)
     s2d_cands = G.s2d_candidates(ir) if G._S2D_REGION else set()
+    stem = G.stem_fusion_pairs(ir) if G._FUSE_STEM else {}
     q: dict = {}
     for node in ir.nodes:
         key = f"l{node.index}"
@@ -248,6 +254,12 @@ def quantize(ir: GraphIR, folded: dict, stats: dict,
                 q[key]["fp"] = p
         else:
             q[key] = {"fp": p}
+            if node.index in stem and key in stats:
+                # fused int8 stem: image-input and mid-activation scales
+                q[key]["amax_in"] = np.float32(stats[key])
+                mid = stats.get(f"l{stem[node.index]}")
+                if mid is not None:
+                    q[key]["amax_mid"] = np.float32(mid)
     return {"params": q}
 
 
@@ -305,6 +317,35 @@ def _qconv_s2d(x, qp, fp, role, *, act="linear", out_dtype=jnp.bfloat16):
     return y
 
 
+def _q_fused_stem(x, p1, p2, act1, act2, amax_in, amax_mid, out_dtype):
+    """int8 version of layers.fused_stem_pair: both s2d-fused stem convs run
+    int8 x int8 -> int32 with trace-time weight transform+quantization and
+    the calibrated image/mid-activation scales."""
+    wb, w2s = L.stem_pair_weights(p1["w"], p2["w"])
+    wbq, swb = _quant_weight(wb)
+    w2q, sw2 = _quant_weight(w2s)
+    sx1 = jnp.maximum(amax_in, 1e-12).astype(jnp.float32) / 127.0
+    sx2 = jnp.maximum(amax_mid, 1e-12).astype(jnp.float32) / 127.0
+    xq = jnp.clip(jnp.round(x * (1.0 / sx1).astype(x.dtype)),
+                  -127, 127).astype(jnp.int8)
+    y1 = jax.lax.conv_general_dilated(
+        xq, wbq, (2, 2), [(1, 2), (1, 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y1 = (y1.astype(out_dtype) * (swb * sx1).astype(out_dtype)
+          + jnp.tile(p1["b"], 4).astype(out_dtype))
+    y1 = L.activate(act1, y1)
+    y1q = jnp.clip(jnp.round(y1 * (1.0 / sx2).astype(y1.dtype)),
+                   -127, 127).astype(jnp.int8)
+    y2 = jax.lax.conv_general_dilated(
+        y1q, w2q, (1, 1), [(1, 0), (1, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y2 = (y2.astype(out_dtype) * (sw2 * sx2).astype(out_dtype)
+          + p2["b"].astype(out_dtype))
+    return L.activate(act2, y2)
+
+
 def apply_quantized(ir: GraphIR, qvars: dict, xv, xl=None, *,
                     compute_dtype=jnp.bfloat16):
     """int8 inference forward -> (decoded (bs, total, no) f32, raw heads)."""
@@ -330,8 +371,13 @@ def apply_quantized(ir: GraphIR, qvars: dict, xv, xl=None, *,
                     and inp.shape[1] % 2 == 0 and inp.shape[2] % 2 == 0):
                 n2 = ir.nodes[stem_pairs[node.index]]
                 p, p2 = entry["fp"], params[f"l{n2.index}"]["fp"]
-                x = L.fused_stem_pair(inp, p["w"], p["b"], node.act,
-                                      p2["w"], p2["b"], n2.act)
+                if "amax_in" in entry and "amax_mid" in entry:
+                    x = _q_fused_stem(inp, p, p2, node.act, n2.act,
+                                      entry["amax_in"], entry["amax_mid"],
+                                      compute_dtype)
+                else:
+                    x = L.fused_stem_pair(inp, p["w"], p["b"], node.act,
+                                          p2["w"], p2["b"], n2.act)
                 skip.add(n2.index)
             elif node.index in plan and "fp" in entry:
                 if "q" in entry:     # quantized s2d conv
