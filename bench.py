@@ -71,6 +71,10 @@ def main():
     variables = jax.jit(lambda k: graph.init(ir, k))(jax.random.PRNGKey(0))
     folded = jax.jit(lambda v: graph.fold_batchnorm(ir, v))(variables)
     folded = jax.tree.map(lambda a: a.astype(jnp.bfloat16), folded)
+    if not args.int8:
+        # hoist the stem/s2d weight transforms out of the per-call program
+        folded = jax.jit(lambda v: graph.prepare_folded(
+            ir, v, args.height, args.width))(folded)
     jax.block_until_ready(folded)
     print(f"# init+fold {time.perf_counter() - t:.1f}s", file=sys.stderr, flush=True)
 
@@ -81,8 +85,9 @@ def main():
         cal = jnp.asarray(rng0.random((8, args.height, args.width, 3),
                                       np.float32), jnp.bfloat16)
         stats = Q.calibrate(ir, folded, [(cal, cal)])
-        folded = jax.jit(lambda f: Q.quantize(ir, f, stats,
-                                              mode=args.int8_mode))(folded)
+        folded = jax.jit(lambda f: Q.quantize(
+            ir, f, stats, mode=args.int8_mode,
+            hw=(args.height, args.width)))(folded)
         apply_fn = lambda p, a, b: Q.apply_quantized(  # noqa: E731
             ir, p, a, b, compute_dtype=jnp.bfloat16)[0]
     else:

@@ -66,7 +66,9 @@ def main(argv=None):
         raise FileNotFoundError(f"no images match {opt.source}")
 
     ir, variables = build_model(opt.cfg, opt.weights)
-    folded = jax.jit(lambda v: graph.fold_batchnorm(ir, v))(variables)
+    folded = jax.jit(lambda v: graph.prepare_folded(
+        ir, graph.fold_batchnorm(ir, v),
+        opt.img_size, opt.img_size))(variables)
 
     @jax.jit
     def infer(params, xv, xl):

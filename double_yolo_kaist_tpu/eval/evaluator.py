@@ -80,8 +80,10 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
                 break
         stats = Q.calibrate(ir, fvars, cal, compute_dtype=compute_dtype,
                             pct=calibration_pct)
+        hw = (int(getattr(dataset, "img_size", 512)),) * 2
         run_vars = jax.jit(lambda f: Q.quantize(ir, f, stats,
-                                                mode=int8_mode))(fvars)
+                                                mode=int8_mode,
+                                                hw=hw))(fvars)
 
         def build():
             def infer(params, xv, xl):
@@ -90,8 +92,10 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
                 return _nms(io)
             return jax.jit(infer)
     elif folded:
-        fold = _cached((ir_key, "fold"),
-                       lambda: jax.jit(lambda v: graph.fold_batchnorm(ir, v)))
+        hw = (int(getattr(dataset, "img_size", 512)),) * 2
+        fold = _cached((ir_key, "fold", hw),
+                       lambda: jax.jit(lambda v: graph.prepare_folded(
+                           ir, graph.fold_batchnorm(ir, v), *hw)))
         run_vars = fold(variables)
 
         def build():

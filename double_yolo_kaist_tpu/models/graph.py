@@ -441,6 +441,36 @@ def s2d_plan(ir: GraphIR, h: int, w: int) -> dict:
     return plan
 
 
+def prepare_folded(ir: GraphIR, variables: dict, h: int, w: int) -> dict:
+    """Precompute the basis-transformed kernels for a fixed deployment size.
+
+    The stem-pair and s2d-region weight transforms are chains of
+    .at[].set edits; with params as jit *arguments* XLA cannot constant-
+    fold them, so un-prepared inference re-runs ~6 ms of serial weight
+    edits per call (profiled, flagship bs16). This pass runs them once —
+    jit it over the folded params like fold_batchnorm — storing "wb"/"w2s"
+    on stem pairs and "wt"/"bt" on planned convs; apply_folded picks the
+    precomputed entries up when present (shape-checked against the active
+    plan's role, so a mismatched prepare size falls back to inline)."""
+    out = {k: v for k, v in variables.items() if k != "params"}
+    params = {k: dict(v) for k, v in variables["params"].items()}
+    if _FUSE_STEM:
+        for i, j in stem_fusion_pairs(ir).items():
+            p1, p2 = params[f"l{i}"], params[f"l{j}"]
+            wb, w2s = L.stem_pair_weights(p1["w"], p2["w"])
+            p1["wb"], p2["w2s"] = wb, w2s
+    if _S2D_REGION:
+        for i, role in s2d_plan(ir, h, w).items():
+            p = params[f"l{i}"]
+            p["wt"] = L._s2d_w(p["w"], role)
+            p["bt"] = p["b"] if role == "x3" else jnp.repeat(p["b"], 4)
+    out["params"] = params
+    return out
+
+
+_S2D_KSHAPE = {"e1": 2, "e3": 4, "i1": 1, "i3": 3, "x3": 2}
+
+
 def apply_folded(ir: GraphIR, variables: dict, xv, xl=None, *,
                  compute_dtype=None):
     """Inference forward on BN-folded params (see :func:`fold_batchnorm`)."""
@@ -494,11 +524,16 @@ def apply_folded(ir: GraphIR, variables: dict, xv, xl=None, *,
                 n2 = ir.nodes[stem_pairs[node.index]]
                 p2 = params[f"l{n2.index}"]
                 x = L.fused_stem_pair(inp, p["w"], p["b"], node.act,
-                                      p2["w"], p2["b"], n2.act)
+                                      p2["w"], p2["b"], n2.act,
+                                      wb=p.get("wb"), w2s=p2.get("w2s"))
                 skip.add(n2.index)
             elif node.index in plan:
-                x = L.s2d_conv(inp, p["w"], p["b"], node.act,
-                               plan[node.index], dtype)
+                role = plan[node.index]
+                wt, bt = p.get("wt"), p.get("bt")
+                if wt is not None and wt.shape[0] != _S2D_KSHAPE[role]:
+                    wt = bt = None     # prepared for a different plan
+                x = L.s2d_conv(inp, p["w"], p["b"], node.act, role, dtype,
+                               wt=wt, bt=bt)
             else:
                 x = cba(inp, p, node, node.act)
         elif kind == "dwconv":

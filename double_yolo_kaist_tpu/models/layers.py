@@ -157,7 +157,7 @@ def stem_pair_weights(w1, w2):
     return wb, w2s
 
 
-def fused_stem_pair(x, w1, b1, act1, w2, b2, act2):
+def fused_stem_pair(x, w1, b1, act1, w2, b2, act2, *, wb=None, w2s=None):
     """Space-to-depth fused stem: conv(3x3 s1 p1, C->O1)+act1 followed by
     conv(3x3 s2 p1, O1->O2)+act2 in one pass, with no full-resolution O1
     feature map ever touching HBM *in its thin-channel layout*.
@@ -180,7 +180,8 @@ def fused_stem_pair(x, w1, b1, act1, w2, b2, act2):
     Requires even H and W; the caller checks.
     """
     dt = x.dtype
-    wb, w2s = stem_pair_weights(w1, w2)
+    if wb is None or w2s is None:
+        wb, w2s = stem_pair_weights(w1, w2)
     b1s = jnp.tile(b1, 4)
     y1 = jax.lax.conv_general_dilated(
         x, wb.astype(dt), (2, 2), [(1, 2), (1, 2)],
@@ -260,16 +261,23 @@ _S2D_GEOM = {                      # role -> (stride, ((pt, pb), (pl, pr)))
 }
 
 
-def s2d_conv(x, w, b, act, role, dtype=None):
-    """Execute one planned conv in the s2d basis (+bias+activation)."""
+def s2d_conv(x, w, b, act, role, dtype=None, *, wt=None, bt=None):
+    """Execute one planned conv in the s2d basis (+bias+activation).
+
+    ``wt``/``bt``: optionally precomputed transformed kernel/bias (see
+    graph.prepare_folded — the .at[].set weight edits are serial
+    device ops when params are jit arguments, so production inference
+    hoists them out of the per-call program)."""
     dtype = dtype or x.dtype
-    wt = _s2d_w(w, role)
+    if wt is None:
+        wt = _s2d_w(w, role)
     s, pad = _S2D_GEOM[role]
     y = jax.lax.conv_general_dilated(
         x, wt.astype(x.dtype), (s, s), pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=_PRECISION,
         preferred_element_type=_CONV_OUT_DTYPE)
-    bt = b if role == "x3" else jnp.repeat(b, 4)
+    if bt is None:
+        bt = b if role == "x3" else jnp.repeat(b, 4)
     return activate(act, (y + bt.astype(y.dtype)).astype(dtype))
 
 

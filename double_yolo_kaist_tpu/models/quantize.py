@@ -222,7 +222,7 @@ def _qconv_params(p, amax: float):
 
 
 def quantize(ir: GraphIR, folded: dict, stats: dict,
-             mode: str = "chain") -> dict:
+             mode: str = "chain", hw: tuple | None = None) -> dict:
     """BN-folded params + calibration stats -> quantized variables.
 
     Chain-emitting convs carry ``out_inv_s`` = 127/amax(consumer input): the
@@ -235,6 +235,10 @@ def quantize(ir: GraphIR, folded: dict, stats: dict,
     targets, emits = plan_quantization(ir, mode)
     s2d_cands = G.s2d_candidates(ir) if G._S2D_REGION else set()
     stem = G.stem_fusion_pairs(ir) if G._FUSE_STEM else {}
+    # hw: deployment size — precompute the transformed (+re-quantized)
+    # s2d/stem kernels now, so apply_quantized contains zero per-call
+    # weight-edit ops (same rationale as graph.prepare_folded)
+    plan = G.s2d_plan(ir, *hw) if (hw and G._S2D_REGION) else {}
     q: dict = {}
     for node in ir.nodes:
         key = f"l{node.index}"
@@ -252,14 +256,33 @@ def quantize(ir: GraphIR, folded: dict, stats: dict,
                 # the s2d basis and re-quantizes at trace time when the
                 # input size puts this conv inside an s2d region
                 q[key]["fp"] = p
+            if node.index in plan:
+                wt = L._s2d_w(p["w"], plan[node.index])
+                wq, sw = _quant_weight(wt)
+                qp["wq_t"], qp["sw_t"] = wq, sw
+                qp["bt"] = (p["b"] if plan[node.index] == "x3"
+                            else jnp.repeat(p["b"], 4))
         else:
             q[key] = {"fp": p}
+            if node.index in plan:
+                p2 = dict(p)
+                p2["wt"] = L._s2d_w(p["w"], plan[node.index])
+                p2["bt"] = (p["b"] if plan[node.index] == "x3"
+                            else jnp.repeat(p["b"], 4))
+                q[key] = {"fp": p2}
             if node.index in stem and key in stats:
-                # fused int8 stem: image-input and mid-activation scales
+                # fused int8 stem: image-input and mid-activation scales +
+                # pre-transformed/quantized pair kernels
                 q[key]["amax_in"] = np.float32(stats[key])
                 mid = stats.get(f"l{stem[node.index]}")
                 if mid is not None:
                     q[key]["amax_mid"] = np.float32(mid)
+                    p2 = params[f"l{stem[node.index]}"]
+                    wb, w2s = L.stem_pair_weights(p["w"], p2["w"])
+                    wbq, swb = _quant_weight(wb)
+                    w2q, sw2 = _quant_weight(w2s)
+                    q[key]["stem_q"] = {"wbq": wbq, "swb": swb,
+                                        "w2q": w2q, "sw2": sw2}
     return {"params": q}
 
 
@@ -299,15 +322,20 @@ def _qconv_s2d(x, qp, fp, role, *, act="linear", out_dtype=jnp.bfloat16):
     else:
         xq = jnp.clip(jnp.round(x * qp["inv_sx"].astype(x.dtype)),
                       -127, 127).astype(jnp.int8)
-    wt = L._s2d_w(fp["w"], role)
-    wq, sw = _quant_weight(wt)
+    if ("wq_t" in qp
+            and qp["wq_t"].shape[0] == G._S2D_KSHAPE[role]):
+        wq, sw = qp["wq_t"], qp["sw_t"]
+        b = qp["bt"]
+    else:
+        wt = L._s2d_w(fp["w"], role)
+        wq, sw = _quant_weight(wt)
+        b = fp["b"] if role == "x3" else jnp.repeat(fp["b"], 4)
     s, pad = L._S2D_GEOM[role]
     y = jax.lax.conv_general_dilated(
         xq, wq, window_strides=(s, s), padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
     sx = 1.0 / qp["inv_sx"]
-    b = fp["b"] if role == "x3" else jnp.repeat(fp["b"], 4)
     y = (y.astype(out_dtype) * (sw * sx).astype(out_dtype)
          + b.astype(out_dtype))
     y = L.activate(act, y)
@@ -317,13 +345,19 @@ def _qconv_s2d(x, qp, fp, role, *, act="linear", out_dtype=jnp.bfloat16):
     return y
 
 
-def _q_fused_stem(x, p1, p2, act1, act2, amax_in, amax_mid, out_dtype):
+def _q_fused_stem(x, p1, p2, act1, act2, amax_in, amax_mid, out_dtype,
+                  pre=None):
     """int8 version of layers.fused_stem_pair: both s2d-fused stem convs run
     int8 x int8 -> int32 with trace-time weight transform+quantization and
-    the calibrated image/mid-activation scales."""
-    wb, w2s = L.stem_pair_weights(p1["w"], p2["w"])
-    wbq, swb = _quant_weight(wb)
-    w2q, sw2 = _quant_weight(w2s)
+    the calibrated image/mid-activation scales. ``pre``: precomputed
+    kernels from quantize() (zero per-call weight edits)."""
+    if pre is not None:
+        wbq, swb = pre["wbq"], pre["swb"]
+        w2q, sw2 = pre["w2q"], pre["sw2"]
+    else:
+        wb, w2s = L.stem_pair_weights(p1["w"], p2["w"])
+        wbq, swb = _quant_weight(wb)
+        w2q, sw2 = _quant_weight(w2s)
     sx1 = jnp.maximum(amax_in, 1e-12).astype(jnp.float32) / 127.0
     sx2 = jnp.maximum(amax_mid, 1e-12).astype(jnp.float32) / 127.0
     xq = jnp.clip(jnp.round(x * (1.0 / sx1).astype(x.dtype)),
@@ -374,7 +408,8 @@ def apply_quantized(ir: GraphIR, qvars: dict, xv, xl=None, *,
                 if "amax_in" in entry and "amax_mid" in entry:
                     x = _q_fused_stem(inp, p, p2, node.act, n2.act,
                                       entry["amax_in"], entry["amax_mid"],
-                                      compute_dtype)
+                                      compute_dtype,
+                                      pre=entry.get("stem_q"))
                 else:
                     x = L.fused_stem_pair(inp, p["w"], p["b"], node.act,
                                           p2["w"], p2["b"], n2.act)
@@ -385,8 +420,14 @@ def apply_quantized(ir: GraphIR, qvars: dict, xv, xl=None, *,
                                    plan[node.index], act=node.act,
                                    out_dtype=compute_dtype)
                 else:                # fp conv inside an s2d region
-                    x = L.s2d_conv(inp, entry["fp"]["w"], entry["fp"]["b"],
-                                   node.act, plan[node.index], compute_dtype)
+                    fp = entry["fp"]
+                    wt, bt = fp.get("wt"), fp.get("bt")
+                    if (wt is not None
+                            and wt.shape[0] != G._S2D_KSHAPE[plan[node.index]]):
+                        wt = bt = None
+                    x = L.s2d_conv(inp, fp["w"], fp["b"], node.act,
+                                   plan[node.index], compute_dtype,
+                                   wt=wt, bt=bt)
             elif "q" in entry:
                 x = _qconv(inp, entry["q"], stride=node.stride, pad=node.pad,
                            groups=node.groups, act=node.act,

@@ -38,7 +38,9 @@ class Predictor:
         100 = exact max-abs)."""
         self.ir = compile_cfg(cfg) if isinstance(cfg, str) else cfg
         self.folded = jax.jit(
-            lambda v: graph.fold_batchnorm(self.ir, v))(variables)
+            lambda v: graph.prepare_folded(
+                self.ir, graph.fold_batchnorm(self.ir, v),
+                img_size, img_size))(variables)
         self.img_size = img_size
         self.batch_buckets = sorted(batch_buckets)
         self.conf_thres = conf_thres
@@ -85,9 +87,10 @@ class Predictor:
         from .models import quantize as Q
         stats = Q.calibrate(self.ir, self.folded, self._cal_batches,
                             compute_dtype=self._dtype, pct=self._cal_pct)
+        hw = (self.img_size, self.img_size)
         self._qvars = jax.jit(
             lambda f: Q.quantize(self.ir, f, stats,
-                                 mode=self._int8_mode))(self.folded)
+                                 mode=self._int8_mode, hw=hw))(self.folded)
         self._cal_batches = []
         return True
 

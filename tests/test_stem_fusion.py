@@ -100,6 +100,29 @@ def test_flagship_s2d_region_parity(monkeypatch):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_prepare_folded_matches_inline(monkeypatch):
+    """prepare_folded's precomputed kernels give identical outputs to the
+    inline per-call transforms (and to a prepare at a different size,
+    since transforms depend only on role + weights)."""
+    ir = compile_cfg(cfg_path(FLAGSHIP))
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    folded = graph.fold_batchnorm(ir, variables)
+    rng = np.random.default_rng(6)
+    xv = jnp.asarray(rng.random((1, 64, 64, 3), np.float32))
+    xl = jnp.asarray(rng.random((1, 64, 64, 3), np.float32))
+    monkeypatch.setattr(graph, "_S2D_REGION", True)
+    monkeypatch.setattr(graph, "_FUSE_STEM", True)
+    io_inline, _ = graph.apply_folded(ir, folded, xv, xl)
+    prepared = graph.prepare_folded(ir, folded, 64, 64)
+    io_prep, _ = graph.apply_folded(ir, prepared, xv, xl)
+    np.testing.assert_allclose(np.asarray(io_prep), np.asarray(io_inline),
+                               rtol=1e-6, atol=1e-6)
+    prepared2 = graph.prepare_folded(ir, folded, 128, 128)
+    io_prep2, _ = graph.apply_folded(ir, prepared2, xv, xl)
+    np.testing.assert_allclose(np.asarray(io_prep2), np.asarray(io_inline),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_fusion_skipped_on_odd_input(monkeypatch):
     """Odd spatial dims fall back to the unfused path (no crash)."""
     ir = compile_cfg(cfg_path(FLAGSHIP))
