@@ -97,7 +97,8 @@ def decode_head(p, anchors: np.ndarray, stride: int, bf_type: str):
 
 # ----------------------------------------------------------------------- apply
 
-def _exec_node(node, p, s, x, x2, cache, *, train, rng, axis_name):
+def _exec_node(node, p, s, x, x2, cache, *, train, rng, axis_name,
+               s2d_role=None):
     """Execute one IR node. Returns (x, new_state_entry|None, raw_head|None)."""
     kind = node.kind
     ns = None
@@ -106,7 +107,8 @@ def _exec_node(node, p, s, x, x2, cache, *, train, rng, axis_name):
         inp = x2 if node.takes_second_input else x
         x, bn_s = L.conv_bn_act(inp, p, s, stride=node.stride, pad=node.pad,
                                 groups=node.groups, act=node.act, bn=node.bn,
-                                train=train, axis_name=axis_name)
+                                train=train, axis_name=axis_name,
+                                s2d_role=s2d_role)
         if bn_s is not None and train:
             ns = bn_s
     elif kind == "dwconv":
@@ -170,6 +172,9 @@ def apply(ir: GraphIR, variables: dict, xv, xl=None, *, train: bool = False,
     if ir.dual_stream and x2 is None:
         raise ValueError("dual-stream graph requires the LWIR input xl")
 
+    plan = (s2d_plan(ir, xv.shape[1], xv.shape[2], exclude_stems=False)
+            if _S2D_TRAIN else {})
+
     n = len(ir.nodes)
     if remat_segments and train:
         bounds = [round(i * n / remat_segments)
@@ -190,7 +195,8 @@ def apply(ir: GraphIR, variables: dict, xv, xl=None, *, train: bool = False,
             x, ns, head = _exec_node(node, params.get(key), state.get(key),
                                      x, x2, {**cache, **new_cache},
                                      train=train, rng=rng,
-                                     axis_name=axis_name)
+                                     axis_name=axis_name,
+                                     s2d_role=plan.get(node.index))
             if ns is not None:
                 seg_state[key] = ns
             if head is not None:
@@ -296,6 +302,16 @@ def stem_fusion_pairs(ir: GraphIR) -> dict:
 # (ir, input size); exact rewrite.
 _S2D_REGION = os.environ.get("DYK_S2D_REGION", "1") != "0"
 
+# Training-path s2d (opt-in, DYK_S2D_TRAIN=1): graph.apply runs the same
+# thin-channel regions in the s2d basis — including the stem pair as an e3
+# entry + x3 exit — with phase-pooled BatchNorm statistics (exact same
+# math and state shapes; see layers.batch_norm phases=4). Transforms happen
+# at trace time, so gradients flow to the untransformed kernels and the
+# optimizer/EMA/checkpoints are unaffected. Ships OFF: A/B on v5e (flagship
+# bs8 fwd+bwd) measured only ~2% — the backward pass is not stem-bound —
+# so the default avoids extra compile time on the training path.
+_S2D_TRAIN = (os.environ.get("DYK_S2D_TRAIN", "0") == "1") and _S2D_REGION
+
 _S2D_OK_ACTS = None          # all activations are elementwise -> basis-safe
 
 
@@ -318,7 +334,8 @@ def s2d_candidates(ir: GraphIR) -> set:
     return out
 
 
-def s2d_plan(ir: GraphIR, h: int, w: int) -> dict:
+def s2d_plan(ir: GraphIR, h: int, w: int,
+             exclude_stems: bool = True) -> dict:
     """{conv index -> role} for thin-channel stages run in the s2d basis.
 
     Roles (layers._s2d_w): e1/e3 enter the basis (plain input), i1/i3 stay
@@ -332,7 +349,10 @@ def s2d_plan(ir: GraphIR, h: int, w: int) -> dict:
 
     shapes = infer_shapes(ir, h, w)
     stem_nodes = set()
-    if _FUSE_STEM:
+    if exclude_stems and _FUSE_STEM:
+        # inference path: the fused stem pair handles these two convs; the
+        # training path passes exclude_stems=False and the planner covers
+        # them as a plain e3 entry + x3 exit instead
         sp = stem_fusion_pairs(ir)
         stem_nodes = set(sp) | set(sp.values())
 
@@ -360,13 +380,15 @@ def s2d_plan(ir: GraphIR, h: int, w: int) -> dict:
         i, kind = node.index, node.kind
         if kind == "conv":
             inb = "p" if node.takes_second_input else cur
-            simple = (node.groups == 1 and not node.takes_second_input
-                      and i not in stem_nodes)
+            simple = node.groups == 1 and i not in stem_nodes
             k1 = simple and node.kernel == 1 and node.stride == (1, 1)
             k3s1 = (simple and node.kernel == 3 and node.stride == (1, 1)
                     and node.pad == 1)
             k3s2 = (simple and node.kernel == 3 and node.stride == (2, 2)
                     and node.pad == 1)
+            # NB a takes_second_input conv reads the plain LWIR image
+            # (inb='p') regardless of the running visible-stream basis; if
+            # it opens a region, `cur` correctly moves to its own output
             if inb == "s":
                 if k3s2:                      # exit back to plain
                     plan[i] = "x3"

@@ -83,7 +83,11 @@ def _hard_sigmoid(x):
 
 ACTIVATIONS = {
     "linear": lambda x: x,
-    "leaky": lambda x: jnp.where(x >= 0, x, 0.1 * x),
+    # max(x, 0.1x) == leaky_relu(x, 0.1) exactly (0.1 > 0, and max
+    # propagates NaN like the where did), but compiles select-free: the
+    # where's pred mask otherwise crosses XLA fusion boundaries as packed
+    # u32 reduce_or words (profiled ~1 ms per head-scale cluster)
+    "leaky": lambda x: jnp.maximum(x, 0.1 * x),
     "relu": jax.nn.relu,
     "relu6": lambda x: jnp.clip(x, 0.0, 6.0),
     "mish": _mish,
@@ -281,21 +285,37 @@ def s2d_conv(x, w, b, act, role, dtype=None, *, wt=None, bt=None):
     return activate(act, (y + bt.astype(y.dtype)).astype(dtype))
 
 
-def batch_norm(x, params, state, train: bool, axis_name: str | None = None):
+def batch_norm(x, params, state, train: bool, axis_name: str | None = None,
+               phases: int = 1):
     """BatchNorm2d. In train mode returns (y, new_state) with batch statistics
     optionally synchronized across ``axis_name`` (cross-replica mean via psum —
-    the TPU-mesh replacement for the reference's per-GPU BN)."""
+    the TPU-mesh replacement for the reference's per-GPU BN).
+
+    ``phases``: 4 when ``x`` is a phase-minor s2d tensor (B,H/2,W/2,4C) —
+    statistics pool over the phase replicas so they equal the plain-basis
+    per-channel stats exactly, and the returned running state stays
+    C-shaped (checkpoints/EMA/optimizer see no difference)."""
+
+    def pool(v):        # per-channel mean over batch/space (+phases)
+        if phases == 1:
+            return jnp.mean(v, axis=(0, 1, 2))
+        vr = v.reshape(v.shape[:3] + (v.shape[3] // phases, phases))
+        return jnp.mean(vr, axis=(0, 1, 2, 4))
+
+    def bcast(v):
+        return v if phases == 1 else jnp.repeat(v, phases)
+
     if train:
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(0, 1, 2))
+        mean = pool(xf)
         if axis_name is not None:
             mean = jax.lax.pmean(mean, axis_name)
         # two-pass variance: E[(x-mean)^2] avoids the E[x^2]-E[x]^2
         # cancellation that compounds across deep BN stacks
-        var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
+        var = pool(jnp.square(xf - bcast(mean)))
         if axis_name is not None:
             var = jax.lax.pmean(var, axis_name)
-        n = x.shape[0] * x.shape[1] * x.shape[2]
+        n = x.shape[0] * x.shape[1] * x.shape[2] * phases
         if axis_name is not None:
             n = n * jax.lax.psum(1, axis_name)
         unbiased = var * (n / max(n - 1, 1))
@@ -307,12 +327,34 @@ def batch_norm(x, params, state, train: bool, axis_name: str | None = None):
         mean, var = state["mean"], state["var"]
         new_state = state
     inv = jax.lax.rsqrt(var + BN_EPS) * params["scale"]
-    y = (x.astype(jnp.float32) - mean) * inv + params["bias"]
+    y = ((x.astype(jnp.float32) - bcast(mean)) * bcast(inv)
+         + bcast(params["bias"]))
     return y.astype(x.dtype), new_state
 
 
 def conv_bn_act(x, params, state, *, stride=(1, 1), pad=0, groups=1,
-                act="linear", bn=True, train=False, axis_name=None):
+                act="linear", bn=True, train=False, axis_name=None,
+                s2d_role=None):
+    """Conv + BN + activation; with ``s2d_role`` set, the conv runs in the
+    phase-minor s2d basis (see s2d_conv) and BN pools phase statistics —
+    exact same math, full lane occupancy for thin channels, and the param/
+    state pytrees are untouched (transforms happen at trace time, so
+    gradients flow to the original kernels)."""
+    if s2d_role:
+        wt = _s2d_w(params["w"], s2d_role)
+        s, padp = _S2D_GEOM[s2d_role]
+        y = jax.lax.conv_general_dilated(
+            x, wt.astype(x.dtype), (s, s), padp,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=_PRECISION,
+            preferred_element_type=_CONV_OUT_DTYPE)
+        phases = 1 if s2d_role == "x3" else 4
+        if bn:
+            y, state = batch_norm(y, params["bn"], state, train, axis_name,
+                                  phases=phases)
+        else:
+            b = params["b"] if phases == 1 else jnp.repeat(params["b"], 4)
+            y = y + b.astype(y.dtype)
+        return activate(act, y.astype(x.dtype)), state
     y = conv2d(x, params["w"], stride=stride, pad=pad, groups=groups)
     if bn:
         y, state = batch_norm(y, params["bn"], state, train, axis_name)
