@@ -322,15 +322,17 @@ def s2d_candidates(ir: GraphIR) -> set:
     can transform-then-quantize at trace time."""
     out = set()
     for n in ir.nodes:
-        if n.kind != "conv" or n.groups != 1 or n.takes_second_input:
+        if n.kind != "conv" or n.groups != 1:
             continue
         k1 = n.kernel == 1 and n.stride == (1, 1)
         k3s1 = n.kernel == 3 and n.stride == (1, 1) and n.pad == 1
         k3s2 = n.kernel == 3 and n.stride == (2, 2) and n.pad == 1
-        if (k1 or k3s1) and n.out_ch < 128:
+        if k1 or k3s1 or k3s2:
+            # any of these geometries can appear in a plan: k1/k3s1 as
+            # entries (out_ch < 128) OR as region-internal convs (any
+            # out_ch — a region stays open until its stride-2 exit), and
+            # every k3s2 is a potential exit
             out.add(n.index)
-        elif k3s2:
-            out.add(n.index)       # potential exit
     return out
 
 

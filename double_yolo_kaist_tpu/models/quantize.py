@@ -414,7 +414,12 @@ def apply_quantized(ir: GraphIR, qvars: dict, xv, xl=None, *,
                     x = L.fused_stem_pair(inp, p["w"], p["b"], node.act,
                                           p2["w"], p2["b"], n2.act)
                 skip.add(n2.index)
-            elif node.index in plan and "fp" in entry:
+            elif node.index in plan:
+                if "fp" not in entry:
+                    raise ValueError(
+                        f"s2d-planned conv l{node.index} has no fp kernel "
+                        "in qvars — re-run quantize() (stale/mismatched "
+                        "quantized params for this plan)")
                 if "q" in entry:     # quantized s2d conv
                     x = _qconv_s2d(inp, entry["q"], entry["fp"],
                                    plan[node.index], act=node.act,
