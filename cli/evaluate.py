@@ -42,6 +42,8 @@ def main(argv=None):
     p.add_argument("--int8-mode", default="chain",
                    choices=("seed", "chain", "all"),
                    help="quantization plan: 3x3-only / int8 chains / all convs")
+    p.add_argument("--cache-images", choices=("ram", "disk"), default=None,
+                   help="cache decoded pairs (see cli/train.py)")
     opt = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -49,7 +51,7 @@ def main(argv=None):
     data_dict = parse_data_cfg(opt.data)
     ds = KaistDataset(data_dict[opt.test_type], opt.img_size, opt.batch_size,
                       hyp=load_hyp(opt.hyp) if os.path.exists(opt.hyp) else {},
-                      rect=True)
+                      rect=True, cache_images=opt.cache_images)
     ir, variables = build_model(opt.cfg, opt.weights)
     res = evaluate_dataset(
         ir, variables, ds, batch_size=opt.batch_size,
