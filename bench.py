@@ -23,6 +23,9 @@ import jax.numpy as jnp
 from double_yolo_kaist_tpu.config.ir import compile_cfg
 from double_yolo_kaist_tpu.models import graph
 from double_yolo_kaist_tpu.models.zoo import FLAGSHIP, cfg_path, reference_fps
+from double_yolo_kaist_tpu.utils.general import enable_compile_cache
+
+enable_compile_cache()
 
 
 def main():

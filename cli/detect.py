@@ -18,6 +18,9 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from cli.common import build_model  # noqa: E402
+from double_yolo_kaist_tpu.utils.general import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 
 def get_pair_paths(path: str):

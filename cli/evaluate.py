@@ -17,6 +17,9 @@ from double_yolo_kaist_tpu.config.parser import load_hyp, parse_data_cfg  # noqa
 from double_yolo_kaist_tpu.data.dataset import KaistDataset  # noqa: E402
 from double_yolo_kaist_tpu.eval.coco_map import summarize  # noqa: E402
 from double_yolo_kaist_tpu.eval.evaluator import evaluate_dataset  # noqa: E402
+from double_yolo_kaist_tpu.utils.general import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 
 def main(argv=None):

