@@ -16,6 +16,7 @@ import base64
 import json
 import os
 import sys
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -87,6 +88,13 @@ def main(argv=None):
                    choices=("seed", "chain", "all"))
     p.add_argument("--port", type=int, default=8321)
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the startup warmup inference (first /detect "
+                        "then pays the XLA compile, seconds to ~1 min)")
+    p.add_argument("--warmup-hw", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="native frame size to precompile for "
+                        "(default: KAIST 512 640 scaled to --img-size)")
     opt = p.parse_args(argv)
 
     from double_yolo_kaist_tpu.serving import Predictor
@@ -95,6 +103,14 @@ def main(argv=None):
     predictor = Predictor(ir, variables, img_size=opt.img_size,
                           conf_thres=opt.conf_thres, batch_buckets=(1,),
                           int8=opt.int8, int8_mode=opt.int8_mode)
+    if not opt.no_warmup:
+        h, w = opt.warmup_hw or (max(64, opt.img_size),
+                                 max(64, int(opt.img_size * 1.25)))
+        dummy = np.zeros((1, h, w, 3), np.uint8)
+        t0 = time.perf_counter()
+        predictor(dummy, dummy)
+        print(f"# warmup ({h}x{w}) compiled in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
     server = ThreadingHTTPServer(
         (opt.host, opt.port),
         make_handler(predictor, os.path.basename(str(opt.cfg))))
