@@ -123,14 +123,20 @@ def main():
     print(f"# compile+warmup {time.perf_counter() - t:.1f}s",
           file=sys.stderr, flush=True)
 
-    t0 = time.perf_counter()
-    base = float(np.asarray(loop_j(folded, xv, xl, 1)))
-    t1 = time.perf_counter()
-    full = float(np.asarray(loop_j(folded, xv, xl, 1 + args.iters)))
-    t2 = time.perf_counter()
-    assert np.isfinite(full) and np.isfinite(base)
-    # subtract the 1-iteration run to cancel dispatch/fetch overhead
-    dt = (t2 - t1) - (t1 - t0)
+    # subtract the 1-iteration run to cancel dispatch/fetch overhead; take
+    # the min over repeats of each leg independently — host-side stalls
+    # (CPU contention, GC) only ever ADD wall time, and a stall inside the
+    # 1-iter baseline would otherwise INFLATE the reported fps
+    base_t, full_t = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        base = float(np.asarray(loop_j(folded, xv, xl, 1)))
+        base_t.append(time.perf_counter() - t0)
+        t1 = time.perf_counter()
+        full = float(np.asarray(loop_j(folded, xv, xl, 1 + args.iters)))
+        full_t.append(time.perf_counter() - t1)
+        assert np.isfinite(full) and np.isfinite(base)
+    dt = min(full_t) - min(base_t)
 
     fps = args.batch * args.iters / dt
     ref = reference_fps(args.model)
