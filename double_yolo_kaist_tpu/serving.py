@@ -65,6 +65,9 @@ class Predictor:
             return _nms(io)
 
         self._infer = jax.jit(infer)
+        self._infer_raw = infer
+        self._infer_q_raw = None
+        self._run_cache: dict = {}
 
         if int8:
             from .models import quantize as Q
@@ -75,6 +78,29 @@ class Predictor:
                 return _nms(io)
 
             self._infer_q = jax.jit(infer_q)
+            self._infer_q_raw = infer_q
+
+    def _full_program(self, src_hw, quant: bool):
+        """One jitted program for the whole request: uint8 letterbox +
+        forward + NMS, with the valid mask packed into the detections
+        array — a single device dispatch and a single host fetch per
+        bucket (the split pipeline costs 4 round trips, which dominates
+        per-request latency over high-latency links and still wastes two
+        host round trips on PCIe)."""
+        key = (src_hw, quant)
+        prog = self._run_cache.get(key)
+        if prog is None:
+            fn, _, _ = self._preprocess(src_hw)
+            body = self._infer_q_raw if quant else self._infer_raw
+
+            def run(params, v_u8, l_u8):
+                xv, xl = fn(v_u8, l_u8)
+                det, valid = body(params, xv, xl)
+                return jnp.concatenate(
+                    [det, valid[..., None].astype(det.dtype)], axis=-1)
+
+            prog = self._run_cache[key] = jax.jit(run)
+        return prog
 
     def _ensure_calibrated(self, xv, xl):
         """Accumulate warm-up batches, then quantize. Returns True once the
@@ -135,13 +161,22 @@ class Predictor:
                 chunk_l = np.concatenate(
                     [chunk_l, np.zeros((padn,) + chunk_l.shape[1:],
                                        chunk_l.dtype)])
-            xv, xl = fn(jnp.asarray(chunk_v), jnp.asarray(chunk_l))
-            if self._int8 and self._ensure_calibrated(xv, xl):
-                det, valid = self._infer_q(self._qvars, xv, xl)
+            if self._int8 and self._qvars is None:
+                # calibration phase: split pipeline (needs the letterboxed
+                # activations host-side accumulation)
+                xv, xl = fn(jnp.asarray(chunk_v), jnp.asarray(chunk_l))
+                if self._ensure_calibrated(xv, xl):
+                    det, valid = self._infer_q(self._qvars, xv, xl)
+                else:
+                    det, valid = self._infer(self.folded, xv, xl)
+                det = np.asarray(det)
+                valid = np.asarray(valid).astype(bool)
             else:
-                det, valid = self._infer(self.folded, xv, xl)
-            det = np.asarray(det)
-            valid = np.asarray(valid)
+                quant = self._int8
+                params = self._qvars if quant else self.folded
+                packed = np.asarray(self._full_program(src_hw, quant)(
+                    params, jnp.asarray(chunk_v), jnp.asarray(chunk_l)))
+                det, valid = packed[..., :6], packed[..., 6] > 0.5
             for i in range(real):
                 d = det[i][valid[i]]
                 boxes = d[:, :4].copy()
