@@ -77,9 +77,11 @@ def main(argv=None):
     def infer(params, xv, xl):
         io, _ = graph.apply_folded(ir, params, xv, xl,
                                    compute_dtype=jnp.bfloat16)
-        return NMS.non_max_suppression(
+        det, valid = NMS.non_max_suppression(
             io.astype(jnp.float32), conf_thres=opt.conf_thres,
             iou_thres=opt.iou_thres, multi_label=True, merge=opt.merge_nms)
+        # valid packed as a 7th channel: one host fetch per image
+        return jnp.concatenate([det, valid[..., None].astype(det.dtype)], -1)
 
     os.makedirs(opt.out_dir, exist_ok=True)
     pre_cache = {}
@@ -104,9 +106,8 @@ def main(argv=None):
         xv, xl = fn(jnp.asarray(v0[None]), jnp.asarray(l0[None]))
 
         t0 = time.perf_counter()
-        det, valid = infer(folded, xv, xl)
-        det = np.asarray(det)[0]
-        valid = np.asarray(valid)[0]
+        packed = np.asarray(infer(folded, xv, xl))[0]
+        det, valid = packed[:, :6], packed[:, 6] > 0.5
         total_time += time.perf_counter() - t0
 
         d = det[valid]
