@@ -40,15 +40,17 @@ def main():
     ir = compile_cfg(cfg_path(args.model))
     variables = jax.jit(lambda k: graph.init(ir, k))(jax.random.PRNGKey(0))
     pred = Predictor(ir, variables, img_size=512,
-                     batch_buckets=(args.batch,), int8=args.int8)
+                     batch_buckets=(args.batch,), int8=args.int8,
+                     calibration_batches=1)
 
     rng = np.random.default_rng(0)
     v = rng.integers(0, 255, (args.batch, 512, 640, 3), dtype=np.uint8)
     l = rng.integers(0, 255, (args.batch, 512, 640, 3), dtype=np.uint8)
 
     out = pred(v, l)                       # compile + warm (+ int8 calib)
-    if args.int8:
-        out = pred(v, l)                   # post-calibration program
+    while args.int8 and pred._qvars is None:
+        out = pred(v, l)                   # finish calibration
+    out = pred(v, l)                       # warm the final program
     t0 = time.perf_counter()
     for _ in range(args.n):
         out = pred(v, l)
