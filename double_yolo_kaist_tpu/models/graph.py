@@ -374,7 +374,10 @@ def s2d_plan(ir: GraphIR, h: int, w: int,
 
     def want_s2d(node) -> bool:
         c, hh, ww = shapes[node.index]
-        ih, iw = (shapes[node.index - 1][1:] if node.index else (h, w))
+        if node.index == 0 or node.takes_second_input:
+            ih, iw = h, w               # reads the raw image, not node i-1
+        else:
+            ih, iw = shapes[node.index - 1][1:]
         return (c < 128 and ih % 2 == 0 and iw % 2 == 0
                 and hh * ww >= 32 * 32)
 
