@@ -34,6 +34,32 @@ def test_predictor_batching():
     assert len(pred._pre_cache) == 1
 
 
+def test_fused_request_program_matches_split_pipeline():
+    """The single fused request program (letterbox+forward+NMS with a
+    packed valid mask — one dispatch, one fetch) returns exactly what the
+    split letterbox -> infer pipeline returns."""
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    pred = Predictor(ir, variables, img_size=64, conf_thres=0.005,
+                     batch_buckets=(2,), compute_dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    v = rng.integers(0, 256, (2, 96, 128, 3), dtype=np.uint8)
+    l = rng.integers(0, 256, (2, 96, 128, 3), dtype=np.uint8)
+
+    out_fused = pred(v, l)                       # production path
+
+    src_hw = (96, 128)
+    fn, ratio, pad = pred._preprocess(src_hw)
+    xv, xl = fn(jnp.asarray(v), jnp.asarray(l))
+    det, valid = pred._infer(pred.folded, xv, xl)
+    det, valid = np.asarray(det), np.asarray(valid).astype(bool)
+    for i, (boxes, scores, classes) in enumerate(out_fused):
+        d = det[i][valid[i]]
+        assert len(d) == len(boxes)
+        np.testing.assert_allclose(scores, d[:, 4], rtol=1e-6)
+        np.testing.assert_array_equal(classes, d[:, 5].astype(int))
+
+
 def test_predictor_int8_warmup_calibration():
     ir = compile_cfg(TINY, yolo_strides=[8, 4])
     variables = graph.init(ir, jax.random.PRNGKey(0))
