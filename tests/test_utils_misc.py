@@ -71,3 +71,23 @@ def test_adaptive_avg_pool_general_sizes():
             torch.from_numpy(x).permute(0, 3, 1, 2), k
         ).permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-6)
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    """Sets the persistent cache dir; DYK_COMPILE_CACHE=0 disables; never
+    raises on an unwritable path (falls back to cold compiles)."""
+    import jax
+    from double_yolo_kaist_tpu.utils.general import enable_compile_cache
+
+    target = str(tmp_path / "cache")
+    monkeypatch.setenv("DYK_COMPILE_CACHE", target)
+    enable_compile_cache()
+    assert jax.config.jax_compilation_cache_dir == target
+    assert os.path.isdir(target)
+
+    monkeypatch.setenv("DYK_COMPILE_CACHE", "0")
+    enable_compile_cache("/nonexistent-ignored")   # disabled: no change
+    assert jax.config.jax_compilation_cache_dir == target
+
+    monkeypatch.setenv("DYK_COMPILE_CACHE", "/proc/definitely/unwritable")
+    enable_compile_cache()                          # swallows OSError
