@@ -106,9 +106,10 @@ def main(argv=None):
     if not opt.no_warmup:
         h, w = opt.warmup_hw or (max(64, opt.img_size),
                                  max(64, int(opt.img_size * 1.25)))
-        dummy = np.zeros((1, h, w, 3), np.uint8)
         t0 = time.perf_counter()
-        predictor(dummy, dummy)
+        # Predictor.warmup, not predictor(dummy): a dummy request under
+        # --int8 would consume a calibration-batch slot with zeros
+        predictor.warmup((h, w))
         print(f"# warmup ({h}x{w}) compiled in "
               f"{time.perf_counter() - t0:.1f}s", flush=True)
     server = ThreadingHTTPServer(

@@ -111,6 +111,17 @@ class KaistDataset:
             self._disk_dir = Path(data_txt_path).with_suffix(".imgcache")
             self._disk_dir.mkdir(exist_ok=True)
 
+    def _disk_key(self, index: int) -> "Path":
+        """Cache filename keyed by the SOURCE IMAGE PATH (hash), not the
+        split-file position: if the split is edited, reordered, or
+        regenerated, a position key would silently map stale entries onto
+        the wrong visible/LWIR pairs. Path-keyed entries stay valid under
+        any split reshuffle and simply miss for new images."""
+        import hashlib
+
+        h = hashlib.sha1(self.visible_files[index].encode()).hexdigest()[:20]
+        return self._disk_dir / f"{h}.npy"
+
     # ------------------------------------------------------------------ labels
 
     def _load_labels(self, single_cls: bool):
@@ -158,7 +169,7 @@ class KaistDataset:
         if self.cache_mode == "ram" and self._ram[index] is not None:
             return self._ram[index]
         if self.cache_mode == "disk":
-            p = self._disk_dir / f"{index}.npy"
+            p = self._disk_key(index)
             if p.exists():
                 arr = np.load(p, mmap_mode="r")
                 return np.ascontiguousarray(arr[0]), \
@@ -169,10 +180,11 @@ class KaistDataset:
         elif self.cache_mode == "disk":
             v, l = pair
             if v.shape == l.shape:
-                tmp = self._disk_dir / f".{index}.tmp"
+                p = self._disk_key(index)
+                tmp = p.with_name("." + p.name + ".tmp")
                 with open(tmp, "wb") as f:
                     np.save(f, np.stack([v, l]))
-                os.replace(tmp, self._disk_dir / f"{index}.npy")
+                os.replace(tmp, p)
         return pair
 
     def _decode_pair(self, index: int):

@@ -52,20 +52,57 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
                      folded: bool = True, max_det: int = 100,
                      progress: bool = False, int8: bool = False,
                      int8_mode: str = "chain", calibration_batches: int = 2,
-                     calibration_pct: float = 100.0, merge: bool = False):
+                     calibration_pct: float = 100.0, merge: bool = False,
+                     mesh=None):
     """Run the full eval loop. Returns dict with coco stats (12,), ap, lamr,
     fps, curves, and per-image predictions. ``int8``: selective PTQ inference
     calibrated on the first ``calibration_batches`` eval batches;
-    ``int8_mode``: quantization plan (models/quantize.plan_quantization)."""
+    ``int8_mode``: quantization plan (models/quantize.plan_quantization).
+
+    ``mesh``: optional jax.sharding.Mesh — the fused infer program (forward
+    + decode + NMS) runs DATA-PARALLEL over its first axis: batch leaves
+    sharded, params replicated, per-image NMS is embarrassingly parallel so
+    no cross-device collectives are needed and outputs are bit-identical to
+    the single-device program. Partial batches are zero-padded to a
+    device-count multiple and the padding sliced off after the fetch. This
+    is the deployment-scale path: per-chip throughput is bandwidth/MXU
+    bound (docs/ROADMAP.md roofline), so aggregate fps scales linearly over
+    the mesh (SURVEY §2.3 — DP first-class, replacing dormant DDP)."""
     ir_key = (ir.cfg_path, ir.num_layers, ir.second_index)
+    mesh_key = None
+    if mesh is not None:
+        mesh_key = (mesh.axis_names,
+                    tuple(d.id for d in mesh.devices.flat))
     key = (ir_key, conf_thres, iou_thres, multi_label, max_det,
-           str(compute_dtype), folded, int8, int8_mode, merge)
+           str(compute_dtype), folded, int8, int8_mode, merge, mesh_key)
 
     def _nms(io):
         return NMS.non_max_suppression(
             io.astype(jnp.float32), conf_thres=conf_thres,
             iou_thres=iou_thres, multi_label=multi_label, max_det=max_det,
             merge=merge)
+
+    def _prepare_hw():
+        """Deployment size for prepare_folded/quantize kernel precompute.
+        rect datasets run RECTANGULAR batches (e.g. 512x640) — preparing
+        for (img_size, img_size) would mismatch the active s2d plan and
+        silently fall back to per-call .at[].set weight edits inside the
+        jitted program (the serialized cost the prepare pass removes)."""
+        if getattr(dataset, "rect", False):
+            return tuple(int(x) for x in dataset.batch_shapes[0])
+        s = int(getattr(dataset, "img_size", 512))
+        return (s, s)
+
+    def _jit(fn):
+        """jit the fused infer program; with a mesh, data-parallel over its
+        first axis (batch sharded, params replicated, outputs sharded)."""
+        if mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        bsh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        return jax.jit(fn, in_shardings=(rep, bsh, bsh), out_shardings=bsh)
 
     if int8:
         from ..models import quantize as Q
@@ -80,7 +117,7 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
                 break
         stats = Q.calibrate(ir, fvars, cal, compute_dtype=compute_dtype,
                             pct=calibration_pct)
-        hw = (int(getattr(dataset, "img_size", 512)),) * 2
+        hw = _prepare_hw()
         run_vars = jax.jit(lambda f: Q.quantize(ir, f, stats,
                                                 mode=int8_mode,
                                                 hw=hw))(fvars)
@@ -90,9 +127,9 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
                 io, _ = Q.apply_quantized(ir, params, xv, xl,
                                           compute_dtype=compute_dtype)
                 return _pack(_nms(io))
-            return jax.jit(infer)
+            return _jit(infer)
     elif folded:
-        hw = (int(getattr(dataset, "img_size", 512)),) * 2
+        hw = _prepare_hw()
         fold = _cached((ir_key, "fold", hw),
                        lambda: jax.jit(lambda v: graph.prepare_folded(
                            ir, graph.fold_batchnorm(ir, v), *hw)))
@@ -103,7 +140,7 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
                 io, _ = graph.apply_folded(ir, params, xv, xl,
                                            compute_dtype=compute_dtype)
                 return _pack(_nms(io))
-            return jax.jit(infer)
+            return _jit(infer)
     else:
         run_vars = variables
 
@@ -112,7 +149,7 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
                 (io, _), _ = graph.apply(ir, params, xv, xl, train=False,
                                          compute_dtype=compute_dtype)
                 return _pack(_nms(io))
-            return jax.jit(infer)
+            return _jit(infer)
 
     def _pack(dv):
         # valid mask as a 7th channel: ONE host fetch per batch instead of
@@ -122,6 +159,13 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
                                axis=-1)
 
     infer = _cached(key, build)
+
+    ndev = 1
+    if mesh is not None:
+        ndev = int(mesh.shape[mesh.axis_names[0]])
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        # replicate once — per-call host->mesh transfer would serialize
+        run_vars = jax.device_put(run_vars, NamedSharding(mesh, P()))
 
     preds = []
     coco_preds = {}
@@ -135,8 +179,13 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
 
     for v, l, idx, (ratio, pad) in it:
         t0 = time.perf_counter()
+        if ndev > 1 and v.shape[0] % ndev:
+            padn = -v.shape[0] % ndev     # pad to a shardable multiple;
+            z = jnp.zeros((padn,) + v.shape[1:], v.dtype)
+            v, l = jnp.concatenate([v, z]), jnp.concatenate([l, z])
         # single-stream graphs simply ignore the second input
         packed = np.asarray(infer(run_vars, v, l))   # one fetch = sync
+        packed = packed[:len(idx)]                   # drop padding rows
         det, valid = packed[..., :6], packed[..., 6] > 0.5
         fwd_time += time.perf_counter() - t0
         n_images += len(idx)

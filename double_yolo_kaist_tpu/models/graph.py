@@ -447,11 +447,16 @@ def s2d_plan(ir: GraphIR, h: int, w: int,
     if open_nodes:
         unwind()
 
-    # fixpoint: drop regions with cache-consumers outside themselves
+    # fixpoint: drop regions with cache-consumers outside themselves, AND
+    # cascade — a region whose member routes/shortcuts consumed an 's'
+    # output of a now-dropped region would receive a plain C-channel tensor
+    # against 4C-basis plan roles (loud trace-time channel mismatch), so it
+    # must unwind too
     consumers: dict[int, set] = {}
     for n in ir.nodes:
         for j in n.inputs:
             consumers.setdefault(j, set()).add(n.index)
+    dropped_s: set[int] = set()
     changed = True
     while changed:
         changed = False
@@ -459,7 +464,12 @@ def s2d_plan(ir: GraphIR, h: int, w: int,
             if not r:
                 continue
             sset = {j for j in r if basis.get(j) == "s"}
-            if any(c not in r for j in sset for c in consumers.get(j, ())):
+            outside = any(c not in r
+                          for j in sset for c in consumers.get(j, ()))
+            reads_dropped = any(j in dropped_s
+                                for m in r for j in ir.nodes[m].inputs)
+            if outside or reads_dropped:
+                dropped_s |= sset
                 for j in r:
                     basis[j] = "p"
                     plan.pop(j, None)

@@ -28,21 +28,41 @@ class Predictor:
                  batch_buckets: Sequence[int] = (1, 8, 32),
                  compute_dtype=jnp.bfloat16, int8: bool = False,
                  int8_mode: str = "chain", calibration_batches: int = 2,
-                 calibration_pct: float = 99.9):
+                 calibration_pct: float = 99.9, mesh=None):
         """``int8``: serve the post-training-quantized path
         (models/quantize.py). Activation scales are calibrated on the first
         ``calibration_batches`` batches served (production pattern: warm the
         server with representative traffic); until then requests run the
         bf16 path. ``calibration_pct``: percentile max-abs clipping
         (99.9 default — a single hot pixel no longer owns the int8 grid;
-        100 = exact max-abs)."""
+        100 = exact max-abs).
+
+        ``mesh``: optional jax.sharding.Mesh — every serve program runs
+        data-parallel over the mesh's first axis (requests sharded over the
+        batch, params replicated; outputs bit-identical to single-device).
+        Batch buckets are rounded up to device-count multiples. This is how
+        the flagship reaches past its single-chip roofline: per-chip fps is
+        bandwidth/MXU bound (docs/ROADMAP.md), so deployment throughput
+        scales with mesh size."""
         self.ir = compile_cfg(cfg) if isinstance(cfg, str) else cfg
+        self.mesh = mesh
+        self._ndev = 1
+        self._rep = self._bsh = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._ndev = int(mesh.shape[mesh.axis_names[0]])
+            self._rep = NamedSharding(mesh, P())
+            self._bsh = NamedSharding(mesh, P(mesh.axis_names[0]))
         self.folded = jax.jit(
             lambda v: graph.prepare_folded(
                 self.ir, graph.fold_batchnorm(self.ir, v),
                 img_size, img_size))(variables)
+        if self._rep is not None:
+            self.folded = jax.device_put(self.folded, self._rep)
         self.img_size = img_size
-        self.batch_buckets = sorted(batch_buckets)
+        # buckets must shard evenly over the mesh's batch axis
+        self.batch_buckets = sorted(
+            {-(-b // self._ndev) * self._ndev for b in batch_buckets})
         self.conf_thres = conf_thres
         self._pre_cache: dict = {}
         self._dtype = compute_dtype
@@ -59,12 +79,20 @@ class Predictor:
                 iou_thres=iou_thres, multi_label=multi_label,
                 max_det=max_det)
 
+        def _jit(fn):
+            if self.mesh is None:
+                return jax.jit(fn)
+            return jax.jit(fn, in_shardings=(self._rep, self._bsh,
+                                             self._bsh),
+                           out_shardings=self._bsh)
+
         def infer(params, xv, xl):
             io, _ = graph.apply_folded(self.ir, params, xv, xl,
                                        compute_dtype=compute_dtype)
             return _nms(io)
 
-        self._infer = jax.jit(infer)
+        self._jit = _jit
+        self._infer = _jit(infer)
         self._infer_raw = infer
         self._infer_q_raw = None
         self._run_cache: dict = {}
@@ -77,7 +105,7 @@ class Predictor:
                                           compute_dtype=compute_dtype)
                 return _nms(io)
 
-            self._infer_q = jax.jit(infer_q)
+            self._infer_q = _jit(infer_q)
             self._infer_q_raw = infer_q
 
     def _full_program(self, src_hw, quant: bool):
@@ -99,7 +127,7 @@ class Predictor:
                 return jnp.concatenate(
                     [det, valid[..., None].astype(det.dtype)], axis=-1)
 
-            prog = self._run_cache[key] = jax.jit(run)
+            prog = self._run_cache[key] = self._jit(run)
         return prog
 
     def _ensure_calibrated(self, xv, xl):
@@ -117,8 +145,26 @@ class Predictor:
         self._qvars = jax.jit(
             lambda f: Q.quantize(self.ir, f, stats,
                                  mode=self._int8_mode, hw=hw))(self.folded)
+        if self._rep is not None:
+            self._qvars = jax.device_put(self._qvars, self._rep)
         self._cal_batches = []
         return True
+
+    def warmup(self, src_hw: tuple, batch: int | None = None) -> None:
+        """Precompile the serve-time programs for a native frame size WITHOUT
+        touching int8 calibration state.
+
+        Serving a dummy frame through ``__call__`` is the wrong warmup under
+        ``int8=True``: the all-zeros batch would be appended to
+        ``_cal_batches`` and consume one of the ``calibration_batches`` slots
+        while contributing nothing to the max-abs statistics — activation
+        scales would then be calibrated from less real traffic. This path
+        compiles the bf16 full program (letterbox + forward + NMS) on a
+        zeros batch and leaves calibration entirely to real requests."""
+        b = batch or self.batch_buckets[0]
+        z = np.zeros((b,) + tuple(src_hw) + (3,), np.uint8)
+        np.asarray(self._full_program(tuple(src_hw), False)(
+            self.folded, jnp.asarray(z), jnp.asarray(z)))
 
     def _bucket(self, n: int) -> int:
         for b in self.batch_buckets:

@@ -92,3 +92,102 @@ def test_fused_forward_smoke(name):
     io, _ = graph.apply_folded(ir, folded, xv,
                                xl if ir.dual_stream else None)
     assert np.isfinite(np.asarray(io)).all()
+
+
+# cfg that routes an 's' member of one (later-dropped) region into a second
+# region: region A = l0(e1)/l1(i3)/l2(x3); l1 is cache-consumed by the route
+# l5 OUTSIDE A, so the fixpoint drops A — and region C = l4(e1)/l5(route)/
+# l6(i1)/l7(x3) consumed A's (formerly 's') l1, so it must cascade-drop too,
+# otherwise l6/l7 stay planned i1/x3 against a plain C-channel tensor
+# (trace-time channel mismatch). Regression test for the planner's cascade.
+_CASCADE_CFG = """
+[net]
+width=64
+height=64
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=1
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[upsample]
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=1
+stride=1
+pad=1
+activation=leaky
+
+[route]
+layers=4,1
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=1
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=0
+filters=18
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask=0,1,2
+anchors=10,13, 16,30, 33,23, 30,61, 62,45, 59,119
+classes=1
+num=6
+"""
+
+
+def test_cross_region_consumption_cascades(tmp_path):
+    p = tmp_path / "cascade.cfg"
+    p.write_text(_CASCADE_CFG)
+    ir = compile_cfg(str(p), yolo_strides=[2])
+    plan = graph.s2d_plan(ir, 64, 64)
+    # both regions must be gone: A for its outside consumer, C by cascade
+    assert plan == {}, plan
+    _validate_plan(ir, plan)
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    folded = graph.fold_batchnorm(ir, variables)
+    folded = graph.prepare_folded(ir, folded, 64, 64)
+    rng = np.random.default_rng(0)
+    xv = jnp.asarray(rng.random((1, 64, 64, 3), np.float32))
+    io, _ = graph.apply_folded(ir, folded, xv)
+    assert np.isfinite(np.asarray(io)).all()

@@ -88,3 +88,21 @@ def test_predictor_int8_warmup_calibration():
             j = int(np.argmin(d))
             assert d[j] < 3.0, d[j]              # px at 96x128
             assert abs(sq[j] - sf[i]) < 0.05
+
+
+def test_warmup_bypasses_calibration():
+    """Predictor.warmup precompiles without consuming calibration slots:
+    an all-zeros warmup frame routed through __call__ would occupy one of
+    the calibration batches while contributing nothing to the max-abs
+    stats (cli/serve.py startup regression)."""
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    q = Predictor(ir, variables, img_size=64, batch_buckets=(2,),
+                  compute_dtype=jnp.float32, int8=True,
+                  calibration_batches=1)
+    q.warmup((96, 128))
+    assert q._qvars is None and not q._cal_batches
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (2, 96, 128, 3), dtype=np.uint8)
+    q(imgs, imgs)                 # first REAL batch calibrates
+    assert q._qvars is not None
