@@ -213,9 +213,12 @@ class Trainer:
                   if use_ema and self.state.ema is not None
                   else self.state.params)
         variables = {"params": params, "state": self.state.bn_state}
+        # reuse the training mesh: per-epoch eval otherwise serializes the
+        # whole val split onto one chip while N-1 chips idle
         return evaluate_dataset(self.ir, variables, self.val_dataset,
                                 batch_size=batch_size or self.batch_size,
-                                compute_dtype=self.compute_dtype)
+                                compute_dtype=self.compute_dtype,
+                                mesh=self.mesh)
 
     def fit(self, save_best: bool = True, notest: bool = False):
         for epoch in range(self.start_epoch, self.epochs):
