@@ -142,3 +142,77 @@ def test_detect_parity_on_real_images(stem):
     # random-init models fire plenty of low-conf boxes; make sure the test
     # actually compared something
     assert len(mine) > 0
+
+
+def test_detect_parity_int8_vs_fp_on_real_images():
+    """int8 PTQ pipeline vs the fp pipeline, end to end on real KAIST
+    pairs: same imported weights, same device letterbox, forward through
+    apply_quantized (chain plan, calibrated on the same real images), same
+    NMS. The quantized detections must track the fp detections — this
+    attaches a detection-level accuracy check to the int8 throughput path
+    (reference accuracy bar: README.md AP tables; BASELINE.md couples fps
+    with AP)."""
+    from double_yolo_kaist_tpu.models import quantize as Q
+
+    stems = ["I00066", "I00070"]
+    pairs = []
+    for stem in stems:
+        v0 = cv2.imread(os.path.join(IMG_DIR, f"{stem}_visible.jpg"))
+        l0 = cv2.imread(os.path.join(IMG_DIR, f"{stem}_lwir.jpg"))
+        pairs.append((v0, l0))
+
+    YOLO = load_reference_yolo()
+    torch.manual_seed(0)
+    tm = YOLO(CFG, img_size=(IMG_SIZE, IMG_SIZE), verbose=False)
+    tm.eval()
+    ir = compile_cfg(CFG)
+    variables = from_torch_state_dict(ir, tm.state_dict())
+    folded = graph.fold_batchnorm(ir, variables)
+
+    src_hw = pairs[0][0].shape[:2]
+    fn, _, _ = make_letterbox_fn(src_hw, (IMG_SIZE, IMG_SIZE),
+                                 scale_up=False)
+    xv = jnp.concatenate([fn(jnp.asarray(v[None, :, :, ::-1].copy()),
+                             jnp.asarray(l[None, :, :, ::-1].copy()))[0]
+                          for v, l in pairs])
+    xl = jnp.concatenate([fn(jnp.asarray(v[None, :, :, ::-1].copy()),
+                             jnp.asarray(l[None, :, :, ::-1].copy()))[1]
+                          for v, l in pairs])
+
+    # calibrate on the same real letterboxed images the test evaluates
+    stats = Q.calibrate(ir, folded, [(xv, xl)],
+                        compute_dtype=jnp.float32)
+    qvars = Q.quantize(ir, folded, stats, mode="chain",
+                       hw=(IMG_SIZE, IMG_SIZE))
+
+    io_fp, _ = graph.apply_folded(ir, folded, xv, xl,
+                                  compute_dtype=jnp.float32)
+    io_q, _ = Q.apply_quantized(ir, qvars, xv, xl,
+                                compute_dtype=jnp.float32)
+
+    def dets(io):
+        det, valid = NMS.non_max_suppression(
+            io.astype(jnp.float32), conf_thres=CONF, iou_thres=0.5,
+            multi_label=False, max_det=100, top_k=2048)
+        det, valid = np.asarray(det), np.asarray(valid)
+        return [det[i][valid[i] > 0] for i in range(len(det))]
+
+    d_fp, d_q = dets(io_fp), dets(io_q)
+    for i in range(len(pairs)):
+        a, b = d_q[i], d_fp[i]
+        assert len(b) > 0                      # the test compared something
+        # detection count within 25% (int8 noise shifts near-threshold
+        # boxes across conf_thres; random-init scores are tightly packed)
+        assert abs(len(a) - len(b)) <= max(3, 0.25 * len(b)), \
+            (len(a), len(b))
+        # every confident fp detection has a quantized counterpart at
+        # IoU > 0.5 (set-based: int8 can reorder near-tied picks)
+        strong = b[b[:, 4] > np.median(b[:, 4])]
+        lt = np.maximum(strong[:, None, :2], a[None, :, :2])
+        rb = np.minimum(strong[:, None, 2:4], a[None, :, 2:4])
+        inter = np.clip(rb - lt, 0, None).prod(-1)
+        area = ((strong[:, 2:4] - strong[:, :2]).prod(1)[:, None]
+                + (a[:, 2:4] - a[:, :2]).prod(1)[None, :] - inter)
+        best = (inter / np.maximum(area, 1e-9)).max(1)
+        assert (best > 0.5).mean() >= 0.75, \
+            (i, best.min(), (best > 0.5).mean())

@@ -67,7 +67,18 @@ def make_dataset(root):
     return split
 
 
-def main(epochs: int = 60):
+def main(epochs: int = 60, int8: bool = False, int8_tol: float = 0.05,
+         int8_pcts: tuple = (100.0,)):
+    """Overfit the tiny model; assert final AP@0.5 > 0.5.
+
+    ``int8``: additionally evaluate the TRAINED weights through
+    models/quantize.apply_quantized in all three plan modes and assert the
+    quantized AP stays within ``int8_tol`` of the fp run — this attaches an
+    accuracy claim to the int8 throughput path (BASELINE.md couples fps and
+    AP; a speed number without an AP gate is not a result).
+    ``int8_pcts``: calibration clipping percentiles to check (the 100 vs
+    99.9 max-abs tradeoff).
+    """
     tmp = tempfile.mkdtemp()
     split = make_dataset(tmp)
     train_ds = KaistDataset(split, 64, 8, augment=True, hyp=HYP)
@@ -98,9 +109,30 @@ def main(epochs: int = 60):
                   flush=True)
     print("AP trajectory:", [f"{a * 100:.1f}" for a in ap_history])
     assert ap_history[-1] > 0.5, "overfit failed to reach AP 50%"
+    fp_ap = float(ap_history[-1])
+    int8_aps: dict = {}
+    if int8:
+        variables = {"params": state.params, "state": state.bn_state}
+        for pct in int8_pcts:
+            for mode in ("seed", "chain", "all"):
+                res_q = evaluate_dataset(
+                    ir, variables, val_ds, batch_size=8, conf_thres=0.01,
+                    compute_dtype=jnp.float32, int8=True, int8_mode=mode,
+                    calibration_batches=1, calibration_pct=pct)
+                int8_aps[(mode, pct)] = float(res_q["ap"])
+                print(f"int8[{mode}, pct={pct}]: AP@0.5="
+                      f"{res_q['ap'] * 100:.1f}% "
+                      f"(fp {fp_ap * 100:.1f}%)", flush=True)
+                assert res_q["ap"] >= fp_ap - int8_tol, (
+                    f"int8 {mode}@pct{pct} AP {res_q['ap']:.3f} fell more "
+                    f"than {int8_tol} below fp {fp_ap:.3f}")
+        print("INT8 AP GATE PASSED")
     print("OVERFIT CHECK PASSED")
-    return float(ap_history[-1])
+    return (fp_ap, int8_aps) if int8 else fp_ap
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 60)
+    nums = [a for a in sys.argv[1:] if a.isdigit()]
+    main(int(nums[0]) if nums else 60,
+         int8="--int8" in sys.argv,
+         int8_pcts=(100.0, 99.9) if "--pct-sweep" in sys.argv else (100.0,))
