@@ -214,31 +214,33 @@ def random_affine_batch(key, v_imgs, l_imgs, labels, lmask, *,
 
 # -------------------------------------------------------------- mosaic-4
 
-def mosaic4(key, v_imgs, l_imgs, labels, lmask, img_size: int, pool=None):
-    """Mosaic ("quadra") batch transform: group each image with 3 random
-    partners around a random center in a (2s, 2s) canvas
+def mosaic4(key, v_imgs, l_imgs, labels, lmask, img_size: int,
+            partner_idx=None):
+    """Mosaic ("quadra") batch transform: group each image with 3 partners
+    around a random center in a (2s, 2s) canvas
     (reference kaist_dataset.py:213-286). Inputs are the already size-s
     squares produced by load_image+resize; labels (B, T, 5) absolute xyxy in
     the s x s frame. Output: (B, 2s, 2s, C) canvases + (B, 4T, 5) labels.
 
-    ``pool``: optional (v_pool, l_pool, lab_pool, m_pool) of R extra partner
-    candidates (same tile shape). The reference samples mosaic partners from
-    the WHOLE dataset (kaist_dataset.py:230); a device-resident pool of
-    recent batches widens the partner distribution toward that without extra
-    host decode (see pipeline.train_batches)."""
-    B, s = v_imgs.shape[0], img_size
-    k_center, k_partner = jax.random.split(key)
-    centers = jax.random.randint(k_center, (B, 2), int(s * 0.5),
-                                 int(s * 1.5) + 1)
-    n_cand = B
-    if pool is not None:
-        v_pool, l_pool, lab_pool, m_pool = pool
-        v_imgs = jnp.concatenate([v_imgs, v_pool.astype(v_imgs.dtype)], 0)
-        l_imgs = jnp.concatenate([l_imgs, l_pool.astype(l_imgs.dtype)], 0)
-        labels = jnp.concatenate([labels, lab_pool], 0)
-        lmask = jnp.concatenate([lmask, m_pool], 0)
-        n_cand = v_imgs.shape[0]
-    partners = jax.random.randint(k_partner, (B, 3), 0, n_cand)
+    ``partner_idx``: optional (B, 3) int array of partner positions in the
+    input arrays (which may then be LONGER than B — canvases are built for
+    the first B entries only). The host samples these uniformly over the
+    WHOLE epoch, matching the reference's dataset-wide partner draw
+    (kaist_dataset.py:230: 3x random.randint(0, n-1) per image) — see
+    pipeline.train_batches. Without it, partners are drawn on device from
+    the batch itself (self-contained fallback for direct callers)."""
+    s = img_size
+    if partner_idx is not None:
+        B = partner_idx.shape[0]
+        centers = jax.random.randint(key, (B, 2), int(s * 0.5),
+                                     int(s * 1.5) + 1)
+        partners = partner_idx
+    else:
+        B = v_imgs.shape[0]
+        k_center, k_partner = jax.random.split(key)
+        centers = jax.random.randint(k_center, (B, 2), int(s * 0.5),
+                                     int(s * 1.5) + 1)
+        partners = jax.random.randint(k_partner, (B, 3), 0, B)
     idx = jnp.concatenate([jnp.arange(B)[:, None], partners], axis=1)  # (B,4)
 
     def place_one(vi, li, lab, lm, center):

@@ -27,20 +27,27 @@ from ..train.loss import pad_labels
 
 def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
                           snowflake: bool = False, clahe: bool = False,
-                          max_targets_per_img: int = 16):
+                          max_targets_per_img: int = 16,
+                          epoch_partners: bool = True):
     """Build the jitted train-time augmentation program.
 
     src_hw: native image size (KAIST: (512, 640)); static.
     Returns fn(key, v_u8, l_u8, labels, lmask) -> batch dict for the train
     step, where labels are (B, T, 5) normalized xywh and the output targets
     are (B, 4T, 5) (mosaic multiplies label capacity by 4).
+
+    ``epoch_partners``: the input arrays carry 4B images — B batch images
+    followed by 3B host-sampled mosaic partners (drawn uniformly from the
+    WHOLE epoch, reference kaist_dataset.py:230) — and image i mosaics with
+    partners B+3i..B+3i+2. False: B images, partners drawn on device from
+    the batch itself.
     """
     s = img_size
     r = s / max(src_hw)
     h1, w1 = int(src_hw[0] * r), int(src_hw[1] * r)
 
     @jax.jit
-    def fn(key, v_u8, l_u8, labels, lmask, pool=None):
+    def fn(key, v_u8, l_u8, labels, lmask):
         k_mosaic, k_cut, k_affine, k_hsv, k_flip = jax.random.split(key, 5)
         v = A.resize_bilinear(v_u8, h1, w1)
         l = A.resize_bilinear(l_u8, h1, w1)
@@ -52,15 +59,12 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
         lab = jnp.stack([labels[..., 0], cx - bw / 2, cy - bh / 2,
                          cx + bw / 2, cy + bh / 2], -1)
 
-        # exported tiles: this batch becomes a future partner-pool entry
-        # (uint8 to quarter the HBM footprint; the reference's tiles are
-        # uint8 at this stage too, kaist_dataset.py:188-208)
-        tiles = (jnp.clip(jnp.round(v), 0, 255).astype(jnp.uint8),
-                 jnp.clip(jnp.round(l), 0, 255).astype(jnp.uint8),
-                 lab, lmask)
-
+        pidx = None
+        if epoch_partners:
+            nb = v_u8.shape[0] // 4
+            pidx = nb + jnp.arange(3 * nb).reshape(nb, 3)
         v4, l4, lab4, m4 = A.mosaic4(k_mosaic, v, l, lab, lmask, s,
-                                     pool=pool)
+                                     partner_idx=pidx)
 
         if snowflake:
             v4 = clahe_batch(jnp.clip(jnp.round(v4), 0, 255)
@@ -84,7 +88,7 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
         v4, l4, targets = A.flip_lr(k_flip, v4, l4, targets)
         targets = jnp.where(m4[..., None], targets, 0.0)
         return {"v": v4 / 255.0, "l": l4 / 255.0,
-                "targets": targets, "tmask": m4}, tiles
+                "targets": targets, "tmask": m4}
 
     return fn
 
@@ -162,7 +166,7 @@ def train_batches(dataset, batch_size: int, key, *, img_size,
                   hyp: dict, snowflake: bool = False,
                   max_targets_per_img: int = 16, shuffle: bool = True,
                   drop_last: bool = True, seed_epoch: int = 0,
-                  partner_pool_batches: int = 3):
+                  epoch_partners: bool = True):
     """Yield jitted-augmented device batches for one epoch.
 
     ``img_size`` may be an int or a list of bucket sizes; with a list, the
@@ -170,19 +174,21 @@ def train_batches(dataset, batch_size: int, key, *, img_size,
     kaist_train_eval_utils.py:58-71) — each bucket is a separately cached
     XLA program, so no re-jit churn.
 
-    ``partner_pool_batches``: mosaic partners are drawn from the current
-    batch PLUS a device-resident ring of the last P batches' tiles. The
-    reference samples partners from the whole dataset
-    (kaist_dataset.py:230); the ring widens the partner distribution toward
-    that (epoch-wide over time, since the order is shuffled) at zero extra
-    host decode. 0 disables (intra-batch partners only)."""
+    ``epoch_partners``: mosaic partner indices are host-sampled UNIFORMLY
+    over the whole epoch per image (3 per image, with replacement — exactly
+    the reference's dataset-wide draw, kaist_dataset.py:230) and the partner
+    pairs ride along in the device batch (4B images in, B canvases out).
+    Host cost matches the reference (it decodes 4 pairs per mosaic too) and
+    is trivial with ``cache_images``. False: partners drawn on device from
+    the batch itself (B images in — cheaper host IO, narrower partner
+    distribution)."""
     n = len(dataset)
     src_hw = tuple(int(x) for x in dataset.shapes[0][::-1])
     sizes = [img_size] if isinstance(img_size, int) else list(img_size)
     augs = {s: make_train_augment_fn(src_hw, s, hyp, snowflake=snowflake,
-                                     max_targets_per_img=max_targets_per_img)
+                                     max_targets_per_img=max_targets_per_img,
+                                     epoch_partners=epoch_partners)
             for s in sizes}
-    rings: dict = {s: [] for s in sizes}   # size -> list of tile tuples
     order = np.arange(n)
     rng = np.random.default_rng(seed_epoch)
     if shuffle:
@@ -192,24 +198,17 @@ def train_batches(dataset, batch_size: int, key, *, img_size,
         idx = order[b0:b0 + batch_size]
         if len(idx) < batch_size and drop_last:
             break
-        vs, ls = zip(*(dataset.load_pair(i) for i in idx))
-        labels = [dataset.labels[i] for i in idx]
+        load = list(idx)
+        if epoch_partners:
+            load += list(rng.integers(0, n, 3 * len(idx)))
+        vs, ls = zip(*(dataset.load_pair(i) for i in load))
+        labels = [dataset.labels[i] for i in load]
         t, m = pad_labels(labels, max_targets_per_img)
         sub = jax.random.fold_in(key, b0)
         size = sizes[int(rng.integers(len(sizes)))]
-        ring = rings[size]
-        # static pool shape: only attach once the ring is full
-        pool = None
-        if partner_pool_batches > 0 and len(ring) == partner_pool_batches:
-            pool = tuple(jnp.concatenate([r[j] for r in ring], 0)
-                         for j in range(4))
-        batch, tiles = augs[size](
+        batch = augs[size](
             sub, jnp.asarray(np.stack(vs)), jnp.asarray(np.stack(ls)),
-            jnp.asarray(t), jnp.asarray(m), pool)
-        if partner_pool_batches > 0:
-            ring.append(tiles)
-            if len(ring) > partner_pool_batches:
-                ring.pop(0)
+            jnp.asarray(t), jnp.asarray(m))
         yield batch, idx
 
 
