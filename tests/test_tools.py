@@ -82,3 +82,12 @@ def test_split_generation(tmp_path):
     KC.write_data_registry(str(tmp_path / "k.data"), str(tmp_path),
                            "names.txt")
     assert (tmp_path / "k.data").read_text().startswith("classes=1")
+
+
+def test_plot_activations(tmp_path):
+    """Activation-panel plot (reference docs/draw_activation.py analogue)
+    renders through the framework's own op library."""
+    import plot_curves
+    out = tmp_path / "act.png"
+    plot_curves.draw_activations(str(out))
+    assert out.exists() and out.stat().st_size > 1000

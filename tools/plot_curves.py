@@ -14,6 +14,9 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import matplotlib
 
@@ -98,16 +101,58 @@ def draw_training(out_path: str, results_paths: list):
     print(f"wrote {out_path}")
 
 
+def draw_activations(out_path: str):
+    """2x2 activation-function panel (reference docs/draw_activation.py:1-40:
+    sigmoid / tanh / leaky-ReLU(0.1) / mish over z in [-10, 10]), computed
+    through the framework's own op library so the plot documents the exact
+    functions the models run (incl. the select-free leaky/mish forms)."""
+    import jax
+
+    # plotting needs no accelerator; keep the (possibly shared/tunneled)
+    # TPU out of it. No-op if a backend is already up (e.g. under pytest).
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+    import jax.numpy as jnp
+
+    from double_yolo_kaist_tpu.models import layers as L
+
+    z = np.arange(-10, 10, 0.01, dtype=np.float32)
+    zj = jnp.asarray(z)
+    panels = [
+        ("(a) Sigmoid", 1.0 / (1.0 + np.exp(-z))),
+        ("(b) Tanh", np.tanh(z)),
+        ("(c) Leaky ReLU", np.asarray(L.activate("leaky", zj))),
+        ("(d) Mish", np.asarray(L.activate("mish", zj))),
+    ]
+    fig, axes = plt.subplots(2, 2, figsize=(10, 8))
+    for ax, (title, g) in zip(axes.flat, panels):
+        ax.spines["right"].set_visible(False)
+        ax.spines["top"].set_visible(False)
+        ax.set_title(title, y=-0.25)
+        ax.set_xticks(np.linspace(-10, 10, 5))
+        ax.set_xlabel("z")
+        ax.set_ylabel("g(z)")
+        ax.plot(z, g)
+    fig.subplots_adjust(left=0.1, right=0.9, bottom=0.1, top=0.98,
+                        wspace=0.3, hspace=0.3)
+    fig.savefig(out_path, bbox_inches="tight", dpi=100)
+    print(f"wrote {out_path}")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("kind", choices=["pr", "fm", "train"])
+    ap.add_argument("kind", choices=["pr", "fm", "train", "activations"])
     ap.add_argument("out")
-    ap.add_argument("inputs", nargs="+")
+    ap.add_argument("inputs", nargs="*")
     args = ap.parse_args()
     if args.kind == "pr":
         draw_pr(args.out, args.inputs)
     elif args.kind == "fm":
         draw_fppi_mr(args.out, args.inputs)
+    elif args.kind == "activations":
+        draw_activations(args.out)
     else:
         draw_training(args.out, args.inputs)
 
