@@ -62,7 +62,8 @@ def measure_fps(ir, args, int8: bool) -> float:
             ir, f, stats, mode=args.int8_mode,
             hw=(args.height, args.width)))(folded)
         apply_fn = lambda p, a, b: Q.apply_quantized(  # noqa: E731
-            ir, p, a, b, compute_dtype=jnp.bfloat16)[0]
+            ir, p, a, b, compute_dtype=jnp.bfloat16,
+            mode=args.int8_mode)[0]
     else:
         apply_fn = lambda p, a, b: graph.apply_folded(  # noqa: E731
             ir, p, a, b, compute_dtype=jnp.bfloat16)[0]
@@ -123,7 +124,7 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 path only (skip the int8 leg)")
     ap.add_argument("--int8-mode", default="chain",
-                    choices=("seed", "chain", "all"),
+                    choices=("seed", "chain", "all", "edge"),
                     help="PTQ plan: 3x3-only / int8 chains / all convs")
     ap.add_argument("--check-ap", action="store_true",
                     help="synthetic-data AP sanity instead of fps: overfit "

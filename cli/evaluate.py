@@ -43,7 +43,7 @@ def main(argv=None):
     p.add_argument("--calibration-pct", type=float, default=100.0,
                    help="int8 calibration percentile (100 = exact max-abs)")
     p.add_argument("--int8-mode", default="chain",
-                   choices=("seed", "chain", "all"),
+                   choices=("seed", "chain", "all", "edge"),
                    help="quantization plan: 3x3-only / int8 chains / all convs")
     p.add_argument("--cache-images", choices=("ram", "disk"), default=None,
                    help="cache decoded pairs (see cli/train.py)")

@@ -85,7 +85,7 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="serve the int8 PTQ path (calibrates on first request)")
     p.add_argument("--int8-mode", default="chain",
-                   choices=("seed", "chain", "all"))
+                   choices=("seed", "chain", "all", "edge"))
     p.add_argument("--port", type=int, default=8321)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--no-warmup", action="store_true",

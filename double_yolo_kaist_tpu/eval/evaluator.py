@@ -125,7 +125,8 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
         def build():
             def infer(params, xv, xl):
                 io, _ = Q.apply_quantized(ir, params, xv, xl,
-                                          compute_dtype=compute_dtype)
+                                          compute_dtype=compute_dtype,
+                                          mode=int8_mode)
                 return _pack(_nms(io))
             return _jit(infer)
     elif folded:

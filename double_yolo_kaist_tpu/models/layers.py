@@ -397,7 +397,7 @@ def max_pool(x, kernel: int, stride=(1, 1), pad: int = 0):
     # is required for the reverse-mode gradient; finfo.min would silently
     # fall back to a generic (non-differentiable) reduce_window
     neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
-           else jnp.iinfo(x.dtype).min)
+           else np.asarray(jnp.iinfo(x.dtype).min, x.dtype)[()])
     return jax.lax.reduce_window(
         x, neg, jax.lax.max,
         window_dimensions=(1, kernel, kernel, 1),

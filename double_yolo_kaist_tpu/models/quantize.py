@@ -78,7 +78,14 @@ def plan_quantization(ir: GraphIR, mode: str = "chain"):
         removes the consumer's quantize pass.
       * ``all``   — every standard conv (head predictors still fp), with
         chain emission wherever sole-consumer edges exist.
+      * ``edge``  — see :func:`plan_edges`: 'all' targets PLUS (nearly)
+        every activation EDGE stored int8 with per-channel scales; fp
+        consumers dequantize at read. The HBM traffic lever: edge bytes
+        halve vs bf16 (docs/ROADMAP.md round-3 lever 1).
     """
+    if mode == "edge":
+        targets, int8_out, _ = plan_edges(ir)
+        return targets, {i for i, v in int8_out.items() if v}
     standard = _standard_convs(ir)
     if mode == "seed":
         targets = _quantizable(ir)
@@ -100,6 +107,147 @@ def plan_quantization(ir: GraphIR, mode: str = "chain"):
     return targets, emits
 
 
+# ------------------------------------------------------------------ edge plan
+#
+# mode='edge': store (nearly) every activation edge as int8 with PER-CHANNEL
+# scales. The insight making this exact-enough and cheap:
+#   * a conv consuming an int8 edge never needs a runtime input scale — the
+#     per-channel edge scales fold into the WEIGHTS before weight
+#     quantization (w'[:,:,c,:] = w[:,:,c,:] * s_c), so the int8 MXU math
+#     and the dequant-by-sw' epilogue are unchanged;
+#   * concat/maxpool/upsample/slice preserve per-channel scales, so routes
+#     and SPP pools carry int8 straight through with zero extra ops;
+#   * fp consumers (weighted shortcuts, SE, heads) dequantize AT READ —
+#     the HBM read is still 1 byte/elem and the multiply fuses;
+#   * per-channel activation scales are strictly more accurate than the
+#     per-tensor scales of seed/chain mode.
+# Edges feeding the fp head predictors (and the decode) stay bf16.
+
+_PASS = ("maxpool", "upsample", "dropout")
+
+
+def _stream_consumers(ir: GraphIR, i: int) -> list:
+    """Indices of nodes reading node i's output as the RUNNING stream."""
+    cc = []
+    j = i + 1
+    n = len(ir.nodes)
+    while j < n:
+        nj = ir.nodes[j]
+        if nj.kind == "route" or (nj.kind == "conv"
+                                  and nj.takes_second_input):
+            break              # replaces x without reading it
+        if nj.kind == "dropout":
+            j += 1             # inference alias: neither reads nor writes
+            continue
+        cc.append(j)
+        if nj.kind == "yolo":
+            j += 1             # reads x but passes it through
+            continue
+        break
+    return cc
+
+
+def _stream_producer(ir: GraphIR, j: int):
+    """Index of the node whose output is the running stream when node j
+    runs (None when j reads an image)."""
+    nj = ir.nodes[j]
+    if j == 0 or (nj.kind == "conv" and nj.takes_second_input):
+        return None
+    k = j - 1
+    while k >= 0 and ir.nodes[k].kind in ("dropout", "yolo"):
+        k -= 1
+    return k if k >= 0 else None
+
+
+def plan_edges(ir: GraphIR):
+    """Static plan for mode='edge'.
+
+    Returns (targets, int8_out, folded_in):
+      targets: conv indices running int8 MXU math ('all' minus heads/stems)
+      int8_out: {node index -> bool} output tensor stored int8
+      folded_in: conv indices whose main input arrives int8 (weights are
+        quantized WITH the per-channel input scales folded in)
+    """
+    targets = set(_standard_convs(ir))
+    head_pred = {ir.nodes[yi - 1].index for yi in ir.yolo_indices}
+    stem_seconds = (set(G.stem_fusion_pairs(ir).values())
+                    if G._FUSE_STEM else set())
+    cons: dict = {}
+    for n in ir.nodes:
+        for j in n.inputs:
+            cons.setdefault(j, []).append(n.index)
+
+    def out_consumers(i):
+        return _stream_consumers(ir, i) + cons.get(i, [])
+
+    # backward: edges transitively feeding an fp head through format-
+    # preserving nodes must stay bf16 (don't inject edge noise pre-decode)
+    feeds_head: dict = {}
+    for n in reversed(ir.nodes):
+        i = n.index
+        fh = False
+        for c in out_consumers(i):
+            nc = ir.nodes[c]
+            if c in head_pred or nc.kind == "yolo":
+                fh = True
+            elif nc.kind in _PASS or nc.kind == "route":
+                fh = fh or feeds_head.get(c, False)
+        feeds_head[i] = fh
+
+    int8_out: dict = {}
+    cur = False                       # int8ness of the running stream
+    for n in ir.nodes:
+        i, k = n.index, n.kind
+        can = bool(out_consumers(i)) and not feeds_head[i]
+        if k == "conv":
+            cur = can and (i in targets or i in stem_seconds)
+        elif k in ("shortcut", "se"):
+            cur = can                 # fp compute, requantized store
+        elif k == "route":
+            cur = bool(n.inputs) and all(int8_out.get(j, False)
+                                         for j in n.inputs)
+        elif k in ("maxpool", "upsample"):
+            cur = cur and not feeds_head[i]   # carrier follows its input
+        elif k in ("dropout", "yolo"):
+            pass                      # x passes through unchanged
+        else:                         # avgpool/inception/dwconv/...
+            cur = False
+        int8_out[i] = cur
+
+    folded_in = set()
+    for i in targets:
+        p = _stream_producer(ir, i)
+        if p is not None and int8_out.get(p, False):
+            folded_in.add(i)
+    return targets, int8_out, folded_in
+
+
+def edge_scale_vectors(ir: GraphIR, stats: dict, int8_out: dict) -> dict:
+    """{node index -> per-PLAIN-channel scale vector (amax/127, fp32)} for
+    every int8-stored output, propagated through carriers and concats."""
+    svec: dict = {}
+    cur = None
+    for n in ir.nodes:
+        i, k = n.index, n.kind
+        if k in ("dropout", "yolo"):
+            svec[i] = cur if int8_out.get(i, False) else None
+            continue
+        if not int8_out.get(i, False):
+            svec[i] = cur = None
+            continue
+        if k in ("conv", "shortcut", "se"):
+            v = np.maximum(np.asarray(stats[f"l{i}.out"], np.float32),
+                           1e-12) / 127.0
+        elif k == "route":
+            v = np.concatenate([svec[j] for j in n.inputs])
+        elif k in ("maxpool", "upsample"):
+            v = cur
+        else:
+            v = None
+        svec[i] = cur = v
+    return svec
+
+
 # ------------------------------------------------------------------ calibrate
 
 def make_calibration_fn(ir: GraphIR, compute_dtype=jnp.bfloat16,
@@ -113,6 +261,10 @@ def make_calibration_fn(ir: GraphIR, compute_dtype=jnp.bfloat16,
     ``pct``: clipping percentile of |input|. 100 = exact max-abs; 99.x
     discards activation outliers so the int8 grid spends its 254 steps on
     the bulk of the distribution (robust when calibrating on few batches).
+
+    Besides the per-tensor INPUT amax of every standard conv (seed/chain
+    modes), records the PER-CHANNEL output amax of every conv/shortcut/se
+    node under key ``l<i>.out`` — the edge scales of mode='edge'.
     """
     # track every standard conv INCLUDING stem-fusion pairs: the fused int8
     # stem needs amax of the raw image (l<first>) and of the mid activation
@@ -120,6 +272,9 @@ def make_calibration_fn(ir: GraphIR, compute_dtype=jnp.bfloat16,
     skip = {ir.nodes[yi - 1].index for yi in ir.yolo_indices}
     targets = {n.index for n in ir.nodes
                if n.kind == "conv" and n.groups == 1 and n.index not in skip}
+    out_track = {n.index for n in ir.nodes
+                 if n.kind in ("conv", "shortcut", "se")
+                 and n.index not in skip}
 
     def fn(folded, xv, xl=None):
         params = folded["params"]
@@ -133,6 +288,14 @@ def make_calibration_fn(ir: GraphIR, compute_dtype=jnp.bfloat16,
                 stats[key] = jnp.max(a)
             else:
                 stats[key] = jnp.percentile(a.reshape(-1), pct)
+
+        def track_out(key, val):
+            a = jnp.abs(val.astype(jnp.float32))
+            if pct >= 100.0:
+                stats[key] = jnp.max(a, axis=tuple(range(a.ndim - 1)))
+            else:
+                stats[key] = jnp.percentile(
+                    a.reshape(-1, a.shape[-1]), pct, axis=0)
 
         for node in ir.nodes:
             key = f"l{node.index}"
@@ -168,6 +331,8 @@ def make_calibration_fn(ir: GraphIR, compute_dtype=jnp.bfloat16,
                                       p["w"] if node.weighted else None)
             elif node.kind in ("dropout", "yolo"):
                 pass
+            if node.index in out_track:
+                track_out(f"l{node.index}.out", x)
             if node.index in ir.consumed:
                 cache[node.index] = x
         return stats
@@ -200,7 +365,12 @@ def calibrate(ir: GraphIR, folded: dict, batches, compute_dtype=jnp.bfloat16,
     for xv, xl in batches:
         stats = jax.device_get(fn(folded, xv, xl))
         for k, v in stats.items():
-            acc[k] = max(acc.get(k, 0.0), float(v))
+            v = np.asarray(v, np.float64)
+            if v.ndim == 0:
+                acc[k] = max(acc.get(k, 0.0), float(v))
+            else:                      # per-channel vector (edge scales)
+                prev = acc.get(k)
+                acc[k] = v if prev is None else np.maximum(prev, v)
     return acc
 
 
@@ -221,6 +391,90 @@ def _qconv_params(p, amax: float):
             "b": p["b"]}
 
 
+def _quantize_edge(ir: GraphIR, folded: dict, stats: dict,
+                   hw: tuple | None = None) -> dict:
+    """mode='edge' variables: folded weights carry the per-channel scales of
+    their int8 input edges; emitting nodes carry ``out_s``/``out_inv``
+    per-channel output scale vectors (PLAIN channel space — the executor
+    phase-expands them by 4 inside s2d regions)."""
+    params = folded["params"]
+    targets, int8_out, folded_in = plan_edges(ir)
+    svec = edge_scale_vectors(ir, stats, int8_out)
+    s2d_cands = G.s2d_candidates(ir) if G._S2D_REGION else set()
+    stem = G.stem_fusion_pairs(ir) if G._FUSE_STEM else {}
+    plan = G.s2d_plan(ir, *hw) if (hw and G._S2D_REGION) else {}
+
+    def out_scales(i):
+        v = np.asarray(svec[i], np.float32)
+        return {"out_s": jnp.asarray(v),
+                "out_inv": jnp.asarray(1.0 / v)}
+
+    q: dict = {}
+    for node in ir.nodes:
+        i = node.index
+        key = f"l{i}"
+        p = params.get(key)
+        ent: dict = {}
+        if node.kind == "conv" and i in targets:
+            in_s = None
+            if i in folded_in:
+                in_s = np.asarray(svec[_stream_producer(ir, i)], np.float32)
+            w = p["w"]
+            if in_s is not None:
+                w = w * jnp.asarray(in_s, w.dtype)[None, None, :, None]
+            wq, sw = _quant_weight(w)
+            qp = {"wq": wq, "b": p["b"]}
+            if in_s is None:
+                sx = max(float(stats[key]), 1e-12) / 127.0
+                qp["scale"] = sw * np.float32(sx)
+                qp["inv_sx"] = np.float32(1.0 / sx)
+            else:
+                qp["scale"] = sw
+                qp["in_s"] = jnp.asarray(in_s)
+                qp["in_inv"] = jnp.asarray(1.0 / in_s)
+            if int8_out.get(i) and svec[i] is not None:
+                qp.update(out_scales(i))
+            ent["q"] = qp
+            if i in s2d_cands:
+                ent["fp"] = p
+            if i in plan:
+                wt = L._s2d_w(w, plan[i])     # fold edge scales, THEN s2d
+                qp["wq_t"], qp["sw_t"] = _quant_weight(wt)
+                qp["bt"] = (p["b"] if plan[i] == "x3"
+                            else jnp.repeat(p["b"], 4))
+        else:
+            if p is not None:
+                ent["fp"] = p
+            if node.kind == "conv" and i in plan and p is not None:
+                p2 = dict(p)
+                p2["wt"] = L._s2d_w(p["w"], plan[i])
+                p2["bt"] = (p["b"] if plan[i] == "x3"
+                            else jnp.repeat(p["b"], 4))
+                ent["fp"] = p2
+            if node.kind == "conv" and i in stem and key in stats:
+                ent["amax_in"] = np.float32(stats[key])
+                mid = stats.get(f"l{stem[i]}")
+                if mid is not None:
+                    ent["amax_mid"] = np.float32(mid)
+                    p2 = params[f"l{stem[i]}"]
+                    wb, w2s = L.stem_pair_weights(p["w"], p2["w"])
+                    wbq, swb = _quant_weight(wb)
+                    w2q, sw2 = _quant_weight(w2s)
+                    ent["stem_q"] = {"wbq": wbq, "swb": swb,
+                                     "w2q": w2q, "sw2": sw2}
+                j2 = stem[i]
+                if int8_out.get(j2) and svec.get(j2) is not None:
+                    v = np.asarray(svec[j2], np.float32)
+                    ent["stem_out_s"] = jnp.asarray(v)
+                    ent["stem_out_inv"] = jnp.asarray(1.0 / v)
+            if (node.kind in ("shortcut", "se") and int8_out.get(i)
+                    and svec.get(i) is not None):
+                ent.update(out_scales(i))
+        if ent:
+            q[key] = ent
+    return {"params": q}
+
+
 def quantize(ir: GraphIR, folded: dict, stats: dict,
              mode: str = "chain", hw: tuple | None = None) -> dict:
     """BN-folded params + calibration stats -> quantized variables.
@@ -231,6 +485,8 @@ def quantize(ir: GraphIR, folded: dict, stats: dict,
     requantize while writing half the bytes. apply_quantized infers the
     int8-input edges back from the presence of ``out_inv_s`` (the consumer is
     always the next node), so the plan travels with the params pytree."""
+    if mode == "edge":
+        return _quantize_edge(ir, folded, stats, hw)
     params = folded["params"]
     targets, emits = plan_quantization(ir, mode)
     s2d_cands = G.s2d_candidates(ir) if G._S2D_REGION else set()
@@ -380,9 +636,234 @@ def _q_fused_stem(x, p1, p2, act1, act2, amax_in, amax_mid, out_dtype,
     return L.activate(act2, y2)
 
 
+def _expand(v, c: int):
+    """Match a PLAIN-channel scale vector to a tensor's channel count
+    (phase-minor s2d basis: each plain channel owns 4 adjacent lanes)."""
+    return v if v.shape[0] == c else jnp.repeat(v, c // v.shape[0])
+
+
+def _deq(x, xs, dtype):
+    """int8 tensor + per-channel scales -> fp (read stays 1 byte/elem)."""
+    if x.dtype != jnp.int8:
+        return x.astype(dtype)
+    return x.astype(dtype) * _expand(xs, x.shape[-1]).astype(dtype)
+
+
+def _req(y, out_inv, out_s):
+    """fp activation -> (int8 tensor, per-channel scales)."""
+    inv = _expand(out_inv, y.shape[-1])
+    yq = jnp.clip(jnp.round(y * inv.astype(y.dtype)),
+                  -127, 127).astype(jnp.int8)
+    return yq, out_s
+
+
+def _qin_edge(x, xs, qp, dtype):
+    """Produce the int8 conv input the folded weights expect: normally the
+    edge arrives int8 with exactly qp['in_s'] scales; if a fallback path
+    left it fp, quantize per-channel on the same grid (exact same math)."""
+    if x.dtype == jnp.int8:
+        return x
+    inv = _expand(qp["in_inv"], x.shape[-1])
+    return jnp.clip(jnp.round(x.astype(dtype) * inv.astype(dtype)),
+                    -127, 127).astype(jnp.int8)
+
+
+def _qconv_e(x, xs, qp, *, stride=(1, 1), pad=0, act="linear",
+             out_dtype=jnp.bfloat16):
+    """Edge-mode quantized conv: int8 x int8 -> int32, dequant by the
+    (input-scale-folded) per-out-channel weight scale, optional per-channel
+    int8 re-emission. Returns (y, ys)."""
+    if "in_s" in qp:
+        xq = _qin_edge(x, xs, qp, out_dtype)
+    else:
+        xf = _deq(x, xs, out_dtype)
+        xq = jnp.clip(jnp.round(xf * qp["inv_sx"].astype(xf.dtype)),
+                      -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, qp["wq"], window_strides=stride, padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = (y.astype(out_dtype) * qp["scale"].astype(out_dtype)
+         + qp["b"].astype(out_dtype))
+    y = L.activate(act, y)
+    if "out_inv" in qp:
+        return _req(y, qp["out_inv"], qp["out_s"])
+    return y, None
+
+
+def _qconv_s2d_e(x, xs, qp, fp, role, *, act="linear",
+                 out_dtype=jnp.bfloat16):
+    """Edge-mode planned s2d conv (see _qconv_s2d); the precomputed wq_t was
+    quantized from the edge-scale-folded kernel, so no input scale appears
+    in the epilogue when the input edge is int8."""
+    if "in_s" in qp:
+        xq = _qin_edge(x, xs, qp, out_dtype)
+        post = None
+    else:
+        xf = _deq(x, xs, out_dtype)
+        xq = jnp.clip(jnp.round(xf * qp["inv_sx"].astype(xf.dtype)),
+                      -127, 127).astype(jnp.int8)
+        post = 1.0 / qp["inv_sx"]
+    if "wq_t" in qp and qp["wq_t"].shape[0] == G._S2D_KSHAPE[role]:
+        wq, sw, b = qp["wq_t"], qp["sw_t"], qp["bt"]
+    else:
+        w = fp["w"]
+        if "in_s" in qp:
+            w = w * qp["in_s"].astype(w.dtype)[None, None, :, None]
+        wt = L._s2d_w(w, role)
+        wq, sw = _quant_weight(wt)
+        b = fp["b"] if role == "x3" else jnp.repeat(fp["b"], 4)
+    s, pad = L._S2D_GEOM[role]
+    y = jax.lax.conv_general_dilated(
+        xq, wq, window_strides=(s, s), padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    scale = sw if post is None else sw * post
+    y = (y.astype(out_dtype) * scale.astype(out_dtype)
+         + b.astype(out_dtype))
+    y = L.activate(act, y)
+    if "out_inv" in qp:
+        return _req(y, qp["out_inv"], qp["out_s"])
+    return y, None
+
+
+def _apply_edge(ir: GraphIR, qvars: dict, xv, xl=None, *,
+                compute_dtype=jnp.bfloat16):
+    """mode='edge' forward: activations live in HBM as per-channel int8
+    wherever plan_edges allows — conv consumers run int8 MXU math directly
+    (scales folded into weights), fp consumers dequantize at read, compute
+    nodes re-emit int8. Decoded output identical in structure to
+    apply_quantized."""
+    params = qvars["params"]
+    dt = compute_dtype
+    x, xs = xv.astype(dt), None
+    x2 = None if xl is None else xl.astype(dt)
+    if ir.dual_stream and x2 is None:
+        raise ValueError("dual-stream graph requires the LWIR input xl")
+
+    cache: dict = {}            # idx -> (tensor, scales-or-None)
+    raw_heads, decoded = [], []
+    stem_pairs = G.stem_fusion_pairs(ir) if G._FUSE_STEM else {}
+    plan = (G.s2d_plan(ir, xv.shape[1], xv.shape[2])
+            if G._S2D_REGION else {})
+    skip: set = set()
+    for node in ir.nodes:
+        key = f"l{node.index}"
+        entry = params.get(key, {})
+        kind = node.kind
+        if node.index in skip:
+            pass
+        elif kind == "conv":
+            inp, inps = (x2, None) if node.takes_second_input else (x, xs)
+            if (node.index in stem_pairs and "fp" in entry
+                    and inp.shape[1] % 2 == 0 and inp.shape[2] % 2 == 0):
+                n2 = ir.nodes[stem_pairs[node.index]]
+                p, p2 = entry["fp"], params[f"l{n2.index}"]["fp"]
+                if "amax_in" in entry and "amax_mid" in entry:
+                    x = _q_fused_stem(inp, p, p2, node.act, n2.act,
+                                      entry["amax_in"], entry["amax_mid"],
+                                      dt, pre=entry.get("stem_q"))
+                else:
+                    x = L.fused_stem_pair(inp, p["w"], p["b"], node.act,
+                                          p2["w"], p2["b"], n2.act)
+                xs = None
+                if "stem_out_inv" in entry:
+                    x, xs = _req(x, entry["stem_out_inv"],
+                                 entry["stem_out_s"])
+                skip.add(n2.index)
+            elif "q" in entry and node.index in plan:
+                x, xs = _qconv_s2d_e(inp, inps, entry["q"],
+                                     entry.get("fp"), plan[node.index],
+                                     act=node.act, out_dtype=dt)
+            elif "q" in entry:
+                x, xs = _qconv_e(inp, inps, entry["q"], stride=node.stride,
+                                 pad=node.pad, act=node.act, out_dtype=dt)
+            else:                 # fp conv (head predictors)
+                p = entry["fp"]
+                xf = _deq(inp, inps, dt)
+                if node.index in plan:
+                    wt, bt = p.get("wt"), p.get("bt")
+                    if (wt is not None and
+                            wt.shape[0] != G._S2D_KSHAPE[plan[node.index]]):
+                        wt = bt = None
+                    x = L.s2d_conv(xf, p["w"], p["b"], node.act,
+                                   plan[node.index], dt, wt=wt, bt=bt)
+                else:
+                    y = L.conv2d(xf, p["w"], stride=node.stride,
+                                 pad=node.pad, groups=node.groups)
+                    x = L.activate(node.act, (y + p["b"]).astype(dt))
+                xs = None
+        elif kind == "dwconv":
+            p = entry["fp"]
+            xf = _deq(x, xs, dt)
+            y = L.conv2d(xf, p["dw"]["w"], stride=node.stride, pad=1,
+                         groups=node.in_ch)
+            y = L.activate("relu6", (y + p["dw"]["b"]).astype(dt))
+            y = L.conv2d(y, p["pw"]["w"])
+            x = L.activate("relu6", (y + p["pw"]["b"]).astype(dt))
+            xs = None
+        elif kind == "inception":
+            x = _inception_folded(_deq(x, xs, dt), entry["fp"], dt)
+            xs = None
+        elif kind == "se":
+            x = L.squeeze_excitation(_deq(x, xs, dt), entry["fp"])
+            xs = None
+            if "out_inv" in entry:
+                x, xs = _req(x, entry["out_inv"], entry["out_s"])
+        elif kind == "maxpool":
+            # int8-transparent: max of quantized = quantized max
+            x = L.max_pool(x, node.kernel, node.stride, node.pad)
+        elif kind == "avgpool":
+            x = L.adaptive_avg_pool(_deq(x, xs, dt), node.out_size)
+            xs = None
+        elif kind == "upsample":
+            x = L.upsample_nearest(x, node.scale)
+        elif kind == "route":
+            feats = [cache[j] for j in node.inputs]
+            if len(feats) == 1:
+                x, xs = feats[0]
+            elif all(s is not None for _, s in feats):
+                # int8 concat is free; phase-expand each scale vector first
+                x = jnp.concatenate([t for t, _ in feats], -1)
+                xs = jnp.concatenate(
+                    [_expand(s, t.shape[-1]) for t, s in feats])
+            else:
+                x = jnp.concatenate([_deq(t, s, dt) for t, s in feats], -1)
+                xs = None
+        elif kind == "shortcut":
+            extras = [_deq(*cache[j], dt) for j in node.inputs]
+            w = (entry["fp"]["w"] if node.weighted else None)
+            x = L.weighted_fusion(_deq(x, xs, dt), extras, w)
+            xs = None
+            if "out_inv" in entry:
+                x, xs = _req(x, entry["out_inv"], entry["out_s"])
+        elif kind == "dropout":
+            pass
+        elif kind == "yolo":
+            na, no = len(node.anchors), node.nc + 5
+            raw = G.reshape_head(_deq(x, xs, dt), na, no)
+            raw_heads.append(raw)
+            decoded.append(G.decode_head(raw, node.anchors,
+                                         node.yolo_stride, node.bf_type))
+        if node.index in ir.consumed:
+            cache[node.index] = (x, xs)
+
+    return jnp.concatenate(decoded, axis=1), raw_heads
+
+
 def apply_quantized(ir: GraphIR, qvars: dict, xv, xl=None, *,
-                    compute_dtype=jnp.bfloat16):
-    """int8 inference forward -> (decoded (bs, total, no) f32, raw heads)."""
+                    compute_dtype=jnp.bfloat16, mode: str = "chain"):
+    """int8 inference forward -> (decoded (bs, total, no) f32, raw heads).
+    ``mode`` must match the ``quantize(mode=...)`` that built qvars
+    ('seed'/'chain'/'all' share one executor; 'edge' has its own)."""
+    if mode == "edge":
+        return _apply_edge(ir, qvars, xv, xl, compute_dtype=compute_dtype)
+    return _apply_q_chain(ir, qvars, xv, xl, compute_dtype=compute_dtype)
+
+
+def _apply_q_chain(ir: GraphIR, qvars: dict, xv, xl=None, *,
+                   compute_dtype=jnp.bfloat16):
+    """seed/chain/all executor (plan travels via ``out_inv_s`` presence)."""
     params = qvars["params"]
     x = xv.astype(compute_dtype)
     x2 = None if xl is None else xl.astype(compute_dtype)

@@ -102,7 +102,8 @@ class Predictor:
 
             def infer_q(params, xv, xl):
                 io, _ = Q.apply_quantized(self.ir, params, xv, xl,
-                                          compute_dtype=compute_dtype)
+                                          compute_dtype=compute_dtype,
+                                          mode=int8_mode)
                 return _nms(io)
 
             self._infer_q = _jit(infer_q)

@@ -144,7 +144,8 @@ def test_detect_parity_on_real_images(stem):
     assert len(mine) > 0
 
 
-def test_detect_parity_int8_vs_fp_on_real_images():
+@pytest.mark.parametrize("int8_mode", ["chain", "edge"])
+def test_detect_parity_int8_vs_fp_on_real_images(int8_mode):
     """int8 PTQ pipeline vs the fp pipeline, end to end on real KAIST
     pairs: same imported weights, same device letterbox, forward through
     apply_quantized (chain plan, calibrated on the same real images), same
@@ -182,13 +183,13 @@ def test_detect_parity_int8_vs_fp_on_real_images():
     # calibrate on the same real letterboxed images the test evaluates
     stats = Q.calibrate(ir, folded, [(xv, xl)],
                         compute_dtype=jnp.float32)
-    qvars = Q.quantize(ir, folded, stats, mode="chain",
+    qvars = Q.quantize(ir, folded, stats, mode=int8_mode,
                        hw=(IMG_SIZE, IMG_SIZE))
 
     io_fp, _ = graph.apply_folded(ir, folded, xv, xl,
                                   compute_dtype=jnp.float32)
     io_q, _ = Q.apply_quantized(ir, qvars, xv, xl,
-                                compute_dtype=jnp.float32)
+                                compute_dtype=jnp.float32, mode=int8_mode)
 
     def dets(io):
         det, valid = NMS.non_max_suppression(

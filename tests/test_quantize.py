@@ -169,15 +169,76 @@ def test_percentile_calibration_clips_outliers():
     s_pct = Q.calibrate(ir, folded, [(xv, xv)], compute_dtype=jnp.float32,
                         pct=99.0)
     # input-layer scale must shrink markedly under percentile clipping
-    k_in = [k for k in s_max if k in s_pct]
+    # (per-tensor input keys only; ".out" keys are per-channel vectors)
+    k_in = [k for k in s_max if k in s_pct and not k.endswith(".out")]
     assert k_in
     first = sorted(k_in, key=lambda k: int(k[1:].split("/")[0]
                                            if "/" in k else k[1:]))[0]
     assert s_pct[first] < 0.8 * s_max[first]
     # and all stats stay positive / finite
-    assert all(np.isfinite(v) and v > 0 for v in s_pct.values())
+    assert all(np.isfinite(v).all() and np.all(np.asarray(v) > 0)
+               for v in s_pct.values())
 
     # the quantized model still runs with percentile stats
     qv = jax.jit(lambda f: Q.quantize(ir, f, s_pct, mode="chain"))(folded)
     io, _ = Q.apply_quantized(ir, qv, xv, xv, compute_dtype=jnp.float32)
     assert np.isfinite(np.asarray(io)).all()
+
+
+def test_edge_plan_consistent():
+    """plan_edges invariants: folded-input convs' producers emit int8;
+    int8-stored routes have all-int8 inputs; head-feeding edges stay fp."""
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+    targets, int8_out, folded_in = Q.plan_edges(ir)
+    preds = {ir.nodes[yi - 1].index for yi in ir.yolo_indices}
+    assert not (targets & preds)
+    for i in folded_in:
+        p = Q._stream_producer(ir, i)
+        assert p is not None and int8_out[p], (i, p)
+    for n in ir.nodes:
+        if n.kind == "route" and int8_out[n.index]:
+            assert all(int8_out[j] for j in n.inputs), n.index
+        if n.index in preds:
+            p = Q._stream_producer(ir, n.index)
+            if p is not None:
+                assert not int8_out[p], ("head predictor fed int8", n.index)
+
+
+def test_edge_quantized_matches_fp():
+    """mode='edge' (per-channel int8 edges) output tracks the fp forward at
+    least as closely as the per-tensor chain mode does."""
+    ir, folded, batches = _setup()
+    stats = Q.calibrate(ir, folded, batches, compute_dtype=jnp.float32)
+    qvars = Q.quantize(ir, folded, stats, mode="edge")
+
+    xv, xl = batches[0]
+    io_fp, _ = graph.apply_folded(ir, folded, xv, xl,
+                                  compute_dtype=jnp.float32)
+    io_q, _ = Q.apply_quantized(ir, qvars, xv, xl,
+                                compute_dtype=jnp.float32, mode="edge")
+    fp = np.asarray(io_fp, np.float32)
+    q = np.asarray(io_q, np.float32)
+    assert fp.shape == q.shape
+    d_conf = np.abs(fp[..., 4] - q[..., 4])
+    assert d_conf.max() < 0.05, d_conf.max()
+    d_xy = np.abs(fp[..., :2] - q[..., :2])
+    assert np.quantile(d_xy, 0.99) < 1.5, np.quantile(d_xy, 0.99)
+    cos = (fp.ravel() @ q.ravel()) / (
+        np.linalg.norm(fp) * np.linalg.norm(q) + 1e-9)
+    assert cos > 0.995, cos
+
+
+def test_edge_quantized_with_prepared_hw():
+    """edge mode with hw-prepared s2d kernels == edge mode with trace-time
+    transforms (the fold-then-transform precompute path)."""
+    ir, folded, batches = _setup()
+    stats = Q.calibrate(ir, folded, batches, compute_dtype=jnp.float32)
+    q1 = Q.quantize(ir, folded, stats, mode="edge")
+    q2 = Q.quantize(ir, folded, stats, mode="edge", hw=(64, 64))
+    xv, xl = batches[0]
+    io1, _ = Q.apply_quantized(ir, q1, xv, xl, compute_dtype=jnp.float32,
+                               mode="edge")
+    io2, _ = Q.apply_quantized(ir, q2, xv, xl, compute_dtype=jnp.float32,
+                               mode="edge")
+    np.testing.assert_allclose(np.asarray(io1), np.asarray(io2),
+                               atol=1e-4, rtol=1e-4)
