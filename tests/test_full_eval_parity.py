@@ -1,0 +1,198 @@
+"""FULL-eval-stack parity against the live reference on the bundled KAIST
+pairs: the strongest accuracy proxy available without a KAIST checkout.
+
+Both frameworks run their COMPLETE offline-eval pipelines end to end with
+identical imported weights over the same mini-split built from
+/root/reference/imgs/ori:
+  reference: LoadKaistImagesAndLabels(rect) -> collate -> torch forward ->
+    its non_max_suppression -> scale_coords -> other_utils/metrics.py
+    compute_ap_lamr (all reference code, in-process)
+  ours: KaistDataset(rect) -> device letterbox -> jitted folded forward ->
+    fixed-shape NMS -> letterbox undo -> eval/metrics.py
+and the printed VOC-AP@0.5 / LAMR must agree. Ground truth is synthesized
+from the reference model's OWN confident detections, so the metrics are
+far from degenerate (AP ~ high) and the greedy TP/FP matching logic is
+genuinely exercised.
+
+The reference's third metric family (pycocotools COCO stats,
+train_utils/coco_eval.py) cannot run here — pycocotools is not installed
+in this environment (its import fails), which is also why our COCO adapter
+(eval/coco_map.py) is validated against hand-computed fixtures instead.
+"""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from double_yolo_kaist_tpu.config.ir import compile_cfg
+from double_yolo_kaist_tpu.data.dataset import KaistDataset
+from double_yolo_kaist_tpu.eval.evaluator import evaluate_dataset
+from double_yolo_kaist_tpu.models import layers as _L
+from double_yolo_kaist_tpu.models.import_weights import from_torch_state_dict
+
+from tests.torch_ref import load_reference_yolo
+
+_L.set_precision("highest")
+
+
+def _torch_nms(boxes, scores, iou_thres):
+    """Exact torchvision.ops.nms semantics (greedy by descending score,
+    suppress IoU > threshold) — torchvision isn't installed here, and
+    tests/torch_ref.py stubs it with None, so the reference's own
+    non_max_suppression gets this drop-in when running in-process."""
+    order = scores.argsort(descending=True)
+    b = boxes[order]
+    areas = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    alive = torch.ones(len(order), dtype=torch.bool)
+    keep = []
+    for i in range(len(order)):
+        if not alive[i]:
+            continue
+        keep.append(order[i])
+        lt = torch.maximum(b[i, :2], b[:, :2])
+        rb = torch.minimum(b[i, 2:], b[:, 2:])
+        inter = (rb - lt).clamp(min=0).prod(1)
+        iou = inter / (areas[i] + areas - inter)
+        alive &= iou <= iou_thres
+    return torch.stack(keep) if keep else torch.zeros(0, dtype=torch.long)
+
+
+def _patch_torchvision_nms():
+    import torchvision
+    torchvision.ops.nms = _torch_nms
+
+
+CFG = "/root/reference/config/kaist_dyolov3_add_sl.cfg"
+IMG_DIR = "/root/reference/imgs/ori"
+IMG_SIZE = 256
+STEMS = ["I00066", "I00070", "I00125", "I00200", "I00304", "I00414",
+         "I00647", "I00737"]
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fullparity")
+    img_dir = root / "images" / "set00"
+    lab_dir = root / "labels" / "set00"
+    img_dir.mkdir(parents=True)
+    lab_dir.mkdir(parents=True)
+
+    YOLO = load_reference_yolo()
+    _patch_torchvision_nms()
+    torch.manual_seed(0)
+    tm = YOLO(CFG, img_size=(IMG_SIZE, IMG_SIZE), verbose=False)
+    tm.eval()
+
+    from build_utils.img_utils import letterbox as ref_letterbox
+    from build_utils.utils import non_max_suppression as ref_nms
+    from build_utils.utils import scale_coords as ref_scale
+
+    logical = []
+    for stem in STEMS:
+        v0 = cv2.imread(os.path.join(IMG_DIR, f"{stem}_visible.jpg"))
+        l0 = cv2.imread(os.path.join(IMG_DIR, f"{stem}_lwir.jpg"))
+        assert v0 is not None and l0 is not None, stem
+        cv2.imwrite(str(img_dir / f"{stem}_visible.jpg"), v0)
+        cv2.imwrite(str(img_dir / f"{stem}_lwir.jpg"), l0)
+
+        # ground truth := the reference model's own confident detections,
+        # so both pipelines chase a realistic, non-degenerate target
+        h0, w0 = v0.shape[:2]
+        v_lb, ratio, pad = ref_letterbox(v0.copy(), (IMG_SIZE, IMG_SIZE),
+                                         auto=False, scale_up=False)
+        l_lb, _, _ = ref_letterbox(l0.copy(), (IMG_SIZE, IMG_SIZE),
+                                   auto=False, scale_up=False)
+        tv = torch.from_numpy(
+            v_lb[:, :, ::-1].transpose(2, 0, 1).copy()).float()[None] / 255
+        tl = torch.from_numpy(
+            l_lb[:, :, ::-1].transpose(2, 0, 1).copy()).float()[None] / 255
+        with torch.no_grad():
+            io, _ = tm(tv, tl)
+        det = ref_nms(io, conf_thres=0.008, iou_thres=0.5,
+                      multi_label=False)[0]
+        lines = []
+        if det is not None and len(det):
+            boxes = ref_scale(tv.shape[2:], det[:, :4],
+                              (h0, w0), (ratio, pad)).numpy()
+            for b in boxes[:4]:
+                cx, cy = (b[0] + b[2]) / 2 / w0, (b[1] + b[3]) / 2 / h0
+                bw, bh = (b[2] - b[0]) / w0, (b[3] - b[1]) / h0
+                if bw > 0.01 and bh > 0.01:
+                    lines.append(f"0 {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}")
+        (lab_dir / f"{stem}.txt").write_text("\n".join(lines) + "\n")
+        logical.append(str(img_dir / f"{stem}.jpg"))
+
+    split = root / "mini.txt"
+    split.write_text("\n".join(logical) + "\n")
+    return str(split), tm
+
+
+def _reference_eval(split, tm):
+    """The reference evaluate.py:31-123 pipeline, in-process, minus the
+    pycocotools COCO block (unavailable in this env)."""
+    from build_utils.kaist_dataset import LoadKaistImagesAndLabels
+    from build_utils.utils import non_max_suppression as ref_nms
+    from build_utils.utils import scale_coords as ref_scale
+    from other_utils.metrics import compute_ap_lamr as ref_ap_lamr
+    import torch.utils.data as tdata
+
+    ds = LoadKaistImagesAndLabels(split, img_size=IMG_SIZE, batch_size=4,
+                                  rect=True)
+    loader = tdata.DataLoader(ds, batch_size=4, num_workers=0,
+                              collate_fn=ds.collate_fn)
+    preds = []
+    with torch.no_grad():
+        for v_imgs, l_imgs, targets, paths, shapes, img_index in loader:
+            v = v_imgs.float() / 255.0
+            l = l_imgs.float() / 255.0
+            pred = tm(v, l)[0]
+            pred = ref_nms(pred, conf_thres=0.01, iou_thres=0.6,
+                           multi_label=False)
+            for index, p in enumerate(pred):
+                if p is None:
+                    continue
+                boxes = ref_scale(v[index].shape[1:], p[:, :4],
+                                  shapes[index][0], shapes[index][1])
+                for i in range(p.shape[0]):
+                    preds.append({"img_id": img_index[index],
+                                  "conf": p[i, 4].item(),
+                                  "bbox": boxes[i].numpy()})
+    preds.sort(key=lambda x: -float(x["conf"]))
+    labels = [lb.copy() for lb in ds.labels]
+    out = ref_ap_lamr(preds, labels, ds.shapes)
+    return out, len(preds)
+
+
+def test_full_eval_stack_matches_reference(setup):
+    split, tm = setup
+    ref, n_ref = _reference_eval(split, tm)
+
+    ir = compile_cfg(CFG)
+    variables = from_torch_state_dict(ir, tm.state_dict())
+    ds = KaistDataset(split, img_size=IMG_SIZE, batch_size=4, rect=True)
+    res = evaluate_dataset(ir, variables, ds, batch_size=4,
+                           conf_thres=0.01, iou_thres=0.6,
+                           multi_label=False, compute_dtype=jnp.float32)
+    n_ours = sum(len(b) for b, _ in res["predictions"].values())
+
+    print(f"\n[full-eval parity] ref: ap={ref['ap']:.4f} "
+          f"lamr={ref['lamr']:.4f} n_preds={n_ref} | "
+          f"ours: ap={res['ap']:.4f} lamr={res['lamr']:.4f} "
+          f"n_preds={n_ours}")
+    # both stacks found a comparable detection population...
+    assert n_ref > 10, "reference found nothing; test degenerate"
+    assert abs(n_ours - n_ref) <= max(4, 0.1 * n_ref), (n_ours, n_ref)
+    # ...and the headline metrics agree end to end. GT is the reference's
+    # own confident detections, so ref AP is high and any systematic
+    # pipeline divergence (letterbox, NMS, scale_coords, matching, AP/LAMR
+    # math) would show up here.
+    assert ref["ap"] > 0.5, ref["ap"]
+    assert res["ap"] == pytest.approx(ref["ap"], abs=0.02), \
+        (res["ap"], ref["ap"])
+    assert res["lamr"] == pytest.approx(ref["lamr"], abs=0.03), \
+        (res["lamr"], ref["lamr"])
