@@ -478,6 +478,27 @@ def s2d_plan(ir: GraphIR, h: int, w: int,
     return plan
 
 
+def s2d_basis(ir: GraphIR, plan: dict) -> dict:
+    """{node index -> 'p'|'s'} output basis under a given s2d plan (the same
+    flow rules the planner/executor use; parameter-free simulation)."""
+    basis: dict = {}
+    cur = "p"
+    for n in ir.nodes:
+        i, k = n.index, n.kind
+        if k == "conv":
+            role = plan.get(i)
+            cur = "s" if role in ("e1", "e3", "i1", "i3") else "p"
+        elif k == "route":
+            bs = {basis.get(j, "p") for j in n.inputs}
+            cur = bs.pop() if len(bs) == 1 else "p"
+        elif k in ("shortcut", "dropout", "yolo"):
+            pass                       # keeps the running basis
+        else:
+            cur = "p"
+        basis[i] = cur
+    return basis
+
+
 def prepare_folded(ir: GraphIR, variables: dict, h: int, w: int) -> dict:
     """Precompute the basis-transformed kernels for a fixed deployment size.
 

@@ -159,7 +159,7 @@ def _stream_producer(ir: GraphIR, j: int):
     return k if k >= 0 else None
 
 
-def plan_edges(ir: GraphIR):
+def plan_edges(ir: GraphIR, hw: tuple | None = None):
     """Static plan for mode='edge'.
 
     Returns (targets, int8_out, folded_in):
@@ -167,6 +167,13 @@ def plan_edges(ir: GraphIR):
       int8_out: {node index -> bool} output tensor stored int8
       folded_in: conv indices whose main input arrives int8 (weights are
         quantized WITH the per-channel input scales folded in)
+
+    ``hw``: deployment size — nodes living in the PHASE-MINOR s2d basis at
+    that size keep bf16 edges (A/B on v5e: int8 edges win ~6% on the plain
+    layers but LOSE inside the s2d thin-stage regions, where XLA's conv
+    emitter handles the 4C-lane int8 stores poorly; with the veto the two
+    rewrites compose additively). The x3 region exits emit plain-basis int8
+    as usual.
     """
     targets = set(_standard_convs(ir))
     head_pred = {ir.nodes[yi - 1].index for yi in ir.yolo_indices}
@@ -194,11 +201,25 @@ def plan_edges(ir: GraphIR):
                 fh = fh or feeds_head.get(c, False)
         feeds_head[i] = fh
 
+    in_basis: dict = {}
+    if hw is not None and G._S2D_REGION:
+        plan = G.s2d_plan(ir, *hw)
+        in_basis = {i: b == "s" for i, b in G.s2d_basis(ir, plan).items()}
+        # inside s2d regions run EXACTLY the measured-fastest chain plan
+        # (quantize only its targets — blanket-quantizing the region 1x1s
+        # re-pays the isolated quant/dequant that made mode='all' slower);
+        # edge semantics apply to everything outside the regions
+        chain_targets, _ = plan_quantization(ir, "chain")
+        targets = {i for i in targets
+                   if not (in_basis.get(i, False) or i in plan)
+                   or i in chain_targets}
+
     int8_out: dict = {}
     cur = False                       # int8ness of the running stream
     for n in ir.nodes:
         i, k = n.index, n.kind
-        can = bool(out_consumers(i)) and not feeds_head[i]
+        can = (bool(out_consumers(i)) and not feeds_head[i]
+               and not in_basis.get(i, False))
         if k == "conv":
             cur = can and (i in targets or i in stem_seconds)
         elif k in ("shortcut", "se"):
@@ -398,7 +419,7 @@ def _quantize_edge(ir: GraphIR, folded: dict, stats: dict,
     per-channel output scale vectors (PLAIN channel space — the executor
     phase-expands them by 4 inside s2d regions)."""
     params = folded["params"]
-    targets, int8_out, folded_in = plan_edges(ir)
+    targets, int8_out, folded_in = plan_edges(ir, hw)
     svec = edge_scale_vectors(ir, stats, int8_out)
     s2d_cands = G.s2d_candidates(ir) if G._S2D_REGION else set()
     stem = G.stem_fusion_pairs(ir) if G._FUSE_STEM else {}
