@@ -173,16 +173,23 @@ def _warp_bilinear(img, minv, out_h: int, out_w: int):
 
 def random_affine_batch(key, v_imgs, l_imgs, labels, lmask, *,
                         degrees=0.0, translate=0.0, scale=0.0, shear=0.0,
-                        border: int = 0):
+                        border: int = 0, Ms=None):
     """Batched random affine of both modalities + label transform.
 
     labels: (B, T, 5) [cls, x1, y1, x2, y2] absolute in the source frame.
     Output frame is (H + 2*border, W + 2*border) (border < 0 shrinks, as the
-    mosaic path uses border = -s//2). Returns (v, l, labels, mask)."""
+    mosaic path uses border = -s//2). Returns (v, l, labels, mask).
+
+    ``Ms``: optional pre-sampled (M (B,3,3), s (B,)) from _affine_matrices —
+    the chunked pipeline samples once at full batch shape and feeds slices
+    (pipeline.make_train_augment_fn), keeping the random stream identical to
+    the unchunked path; ``key`` is ignored then."""
     B, H, W = v_imgs.shape[0], v_imgs.shape[1], v_imgs.shape[2]
     out_h, out_w = H + border * 2, W + border * 2
-    M, s = _affine_matrices(key, B, (H, W), degrees, translate, scale, shear,
-                            border)
+    if Ms is None:
+        Ms = _affine_matrices(key, B, (H, W), degrees, translate, scale,
+                              shear, border)
+    M, s = Ms
     Minv = jnp.linalg.inv(M)
     warp = jax.vmap(partial(_warp_bilinear, out_h=out_h, out_w=out_w))
     v_out = warp(v_imgs, Minv)
@@ -242,6 +249,16 @@ def mosaic4(key, v_imgs, l_imgs, labels, lmask, img_size: int,
                                      int(s * 1.5) + 1)
         partners = jax.random.randint(k_partner, (B, 3), 0, B)
     idx = jnp.concatenate([jnp.arange(B)[:, None], partners], axis=1)  # (B,4)
+    return mosaic_place(v_imgs[idx], l_imgs[idx], labels[idx], lmask[idx],
+                        centers, img_size)
+
+
+def mosaic_place(v4, l4, lab4, lm4, centers, img_size: int):
+    """The deterministic half of mosaic4: paste pre-gathered 4-tile groups
+    (B, 4, h, w, C) around given centers (B, 2). Split out so the chunked
+    pipeline can gather + paste per chunk while centers/partners are sampled
+    once at full batch shape (bit-identical streams)."""
+    s = img_size
 
     def place_one(vi, li, lab, lm, center):
         xr, yr = center[0], center[1]
@@ -297,22 +314,21 @@ def mosaic4(key, v_imgs, l_imgs, labels, lmask, img_size: int,
         return canvas_v, canvas_l, jnp.concatenate(out_lab, 0), \
             jnp.concatenate(out_m, 0)
 
-    v4 = v_imgs[idx]          # (B, 4, s, s, C)
-    l4 = l_imgs[idx]
-    lab4 = labels[idx]        # (B, 4, T, 5)
-    lm4 = lmask[idx]
     return jax.vmap(place_one)(v4, l4, lab4, lm4, centers)
 
 
 # ------------------------------------------------------------ photometric
 
-def hsv_jitter(key, v_imgs, l_imgs, h_gain, s_gain, v_gain):
+def hsv_jitter(key, v_imgs, l_imgs, h_gain, s_gain, v_gain, gains=None):
     """Random HSV gains, same gains for both modalities per image
     (reference kaist_dataset.py:482-506, float math instead of uint8 LUTs).
-    imgs: float32 RGB in [0, 255]."""
+    imgs: float32 RGB in [0, 255]. ``gains``: optional pre-sampled (B, 3)
+    gain factors (chunked pipeline); ``key`` is ignored then."""
     B = v_imgs.shape[0]
-    r = (jax.random.uniform(key, (B, 3), minval=-1.0, maxval=1.0)
-         * jnp.asarray([h_gain, s_gain, v_gain]) + 1.0)
+    r = gains
+    if r is None:
+        r = (jax.random.uniform(key, (B, 3), minval=-1.0, maxval=1.0)
+             * jnp.asarray([h_gain, s_gain, v_gain]) + 1.0)
 
     def adjust(img, g):
         hsv = _rgb_to_hsv(img / 255.0)
@@ -350,11 +366,13 @@ def _hsv_to_rgb(hsv):
     return jnp.stack([r, g, b], -1)
 
 
-def flip_lr(key, v_imgs, l_imgs, labels_xywh_norm):
+def flip_lr(key, v_imgs, l_imgs, labels_xywh_norm, do=None):
     """50% horizontal flip of both modalities + x-center mirror
-    (reference kaist_dataset.py:362-369). labels normalized xywh."""
+    (reference kaist_dataset.py:362-369). labels normalized xywh.
+    ``do``: optional pre-sampled (B,) bool (chunked pipeline)."""
     B = v_imgs.shape[0]
-    do = jax.random.bernoulli(key, 0.5, (B,))
+    if do is None:
+        do = jax.random.bernoulli(key, 0.5, (B,))
     v = jnp.where(do[:, None, None, None], v_imgs[:, :, ::-1], v_imgs)
     l = jnp.where(do[:, None, None, None], l_imgs[:, :, ::-1], l_imgs)
     x = jnp.where(do[:, None], 1.0 - labels_xywh_norm[..., 1],
@@ -367,16 +385,18 @@ def flip_lr(key, v_imgs, l_imgs, labels_xywh_norm):
 
 def snowflake_cutout(key, v_imgs, l_imgs, labels_xyxy, lmask, *,
                      n_thr: int = 6, step: int = 16, n_snow: int = 25,
-                     label_thr: float = 0.35):
+                     label_thr: float = 0.35, u=None):
     """Zero out ``n_snow`` random step x step squares in BOTH modalities and
     drop labels whose cover-IoU vs the cut boxes exceeds ``label_thr``
     (reference snowflake.py:54-93; applied only when an image has <= n_thr
-    boxes). labels absolute xyxy."""
+    boxes). labels absolute xyxy. ``u``: optional pre-sampled (B, n_snow, 2)
+    uniforms in [0, 1) (chunked pipeline); ``key`` is ignored then."""
     B, H, W = v_imgs.shape[0], v_imgs.shape[1], v_imgs.shape[2]
     # NB: the reference swaps w/h when sampling boxes (snowflake.py:73 uses
     # np.shape(img)[:2] as (w, h)); we sample in the true frame.
-    xy = jax.random.uniform(key, (B, n_snow, 2)) * jnp.asarray(
-        [W - 1, H - 1], jnp.float32)
+    if u is None:
+        u = jax.random.uniform(key, (B, n_snow, 2))
+    xy = u * jnp.asarray([W - 1, H - 1], jnp.float32)
     xy = jnp.floor(xy)
     x2 = jnp.clip(xy[..., 0] + step - 1, 0, W - 1)
     y2 = jnp.clip(xy[..., 1] + step - 1, 0, H - 1)

@@ -13,6 +13,7 @@ shape -> float [0,1]; letterbox params are returned for scale_coords undo.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -28,7 +29,8 @@ from ..train.loss import pad_labels
 def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
                           snowflake: bool = False, clahe: bool = False,
                           max_targets_per_img: int = 16,
-                          epoch_partners: bool = True):
+                          epoch_partners: bool = True,
+                          chunk: int | None = None):
     """Build the jitted train-time augmentation program.
 
     src_hw: native image size (KAIST: (512, 640)); static.
@@ -41,16 +43,54 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
     WHOLE epoch, reference kaist_dataset.py:230) — and image i mosaics with
     partners B+3i..B+3i+2. False: B images, partners drawn on device from
     the batch itself.
+
+    ``chunk``: process the heavy image work ``chunk`` canvases at a time via
+    an on-device lax.map, bounding the program's temp arena. Unchunked at
+    bs32/512px the temps reach ~5.6 GB, which collides with the resident
+    train-step program's workspace on a 16 GB v5e and thrashes the allocator
+    (measured 6.4 s/batch device time vs 0.31 s alone — the round-3
+    training-throughput regression). All randoms are pre-sampled at full
+    batch shape with the exact draws of the unchunked path, so chunked and
+    unchunked outputs are identical (tests/test_aug_chunk.py). Default: env
+    DYK_AUG_CHUNK (0 disables) or 8.
     """
     s = img_size
     r = s / max(src_hw)
     h1, w1 = int(src_hw[0] * r), int(src_hw[1] * r)
+    if chunk is None:
+        chunk = int(os.environ.get("DYK_AUG_CHUNK", "8"))
+    n_snow, n_thr, cut_step = 80, 24, 32   # quadra-path cutout settings
+    #                                        (reference kaist_dataset.py:276)
+
+    def heavy(v_u8, l_u8, lab, lmask, idx, centers, cut_u, Ms, hsv_r, do):
+        """Resize -> mosaic paste -> CLAHE/cutout -> affine -> HSV -> flip
+        for one group of canvases; all randomness comes in as arguments."""
+        v4t = A.resize_bilinear(v_u8[idx], h1, w1)    # (b, 4, h1, w1, 3)
+        l4t = A.resize_bilinear(l_u8[idx], h1, w1)
+        v4, l4, lab4, m4 = A.mosaic_place(v4t, l4t, lab[idx], lmask[idx],
+                                          centers, s)
+        if snowflake:
+            v4 = clahe_batch(jnp.clip(jnp.round(v4), 0, 255)
+                             .astype(jnp.uint8)).astype(jnp.float32)
+            l4 = clahe_batch(jnp.clip(jnp.round(l4), 0, 255)
+                             .astype(jnp.uint8)).astype(jnp.float32)
+            v4, l4, m4 = A.snowflake_cutout(None, v4, l4, lab4, m4,
+                                            n_thr=n_thr, step=cut_step,
+                                            n_snow=n_snow, u=cut_u)
+
+        v4, l4, lab4, m4 = A.random_affine_batch(
+            None, v4, l4, lab4, m4, border=-s // 2, Ms=Ms)
+
+        v4, l4 = A.hsv_jitter(None, v4, l4, 0, 0, 0, gains=hsv_r)
+
+        targets = A.xyxy_to_norm_xywh(lab4, m4, (s, s))
+        v4, l4, targets = A.flip_lr(None, v4, l4, targets, do=do)
+        targets = jnp.where(m4[..., None], targets, 0.0)
+        return v4 / 255.0, l4 / 255.0, targets, m4
 
     @jax.jit
     def fn(key, v_u8, l_u8, labels, lmask):
         k_mosaic, k_cut, k_affine, k_hsv, k_flip = jax.random.split(key, 5)
-        v = A.resize_bilinear(v_u8, h1, w1)
-        l = A.resize_bilinear(l_u8, h1, w1)
 
         # normalized xywh -> absolute xyxy in the resized frame
         # (reference load_quadra_images, kaist_dataset.py:258-264)
@@ -59,36 +99,44 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
         lab = jnp.stack([labels[..., 0], cx - bw / 2, cy - bh / 2,
                          cx + bw / 2, cy + bh / 2], -1)
 
-        pidx = None
+        # --- sample ALL randoms at full batch shape (the exact draws the
+        # unchunked ops make, so chunking never changes the streams) ---
         if epoch_partners:
             nb = v_u8.shape[0] // 4
-            pidx = nb + jnp.arange(3 * nb).reshape(nb, 3)
-        v4, l4, lab4, m4 = A.mosaic4(k_mosaic, v, l, lab, lmask, s,
-                                     partner_idx=pidx)
+            centers = jax.random.randint(k_mosaic, (nb, 2), int(s * 0.5),
+                                         int(s * 1.5) + 1)
+            partners = nb + jnp.arange(3 * nb).reshape(nb, 3)
+        else:
+            nb = v_u8.shape[0]
+            k_center, k_partner = jax.random.split(k_mosaic)
+            centers = jax.random.randint(k_center, (nb, 2), int(s * 0.5),
+                                         int(s * 1.5) + 1)
+            partners = jax.random.randint(k_partner, (nb, 3), 0, nb)
+        idx = jnp.concatenate([jnp.arange(nb)[:, None], partners], 1)
+        cut_u = (jax.random.uniform(k_cut, (nb, n_snow, 2))
+                 if snowflake else None)
+        Ms = A._affine_matrices(
+            k_affine, nb, (2 * s, 2 * s), hyp.get("degrees", 0.0),
+            hyp.get("translate", 0.0), hyp.get("scale", 0.0),
+            hyp.get("shear", 0.0), -s // 2)
+        hsv_r = (jax.random.uniform(k_hsv, (nb, 3), minval=-1.0, maxval=1.0)
+                 * jnp.asarray([hyp.get("hsv_h", 0.0), hyp.get("hsv_s", 0.0),
+                                hyp.get("hsv_v", 0.0)]) + 1.0)
+        do = jax.random.bernoulli(k_flip, 0.5, (nb,))
 
-        if snowflake:
-            v4 = clahe_batch(jnp.clip(jnp.round(v4), 0, 255)
-                             .astype(jnp.uint8)).astype(jnp.float32)
-            l4 = clahe_batch(jnp.clip(jnp.round(l4), 0, 255)
-                             .astype(jnp.uint8)).astype(jnp.float32)
-            # quadra-path cutout settings (reference kaist_dataset.py:276)
-            v4, l4, m4 = A.snowflake_cutout(k_cut, v4, l4, lab4, m4,
-                                            n_thr=24, step=32, n_snow=80)
-
-        v4, l4, lab4, m4 = A.random_affine_batch(
-            k_affine, v4, l4, lab4, m4,
-            degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.0),
-            scale=hyp.get("scale", 0.0), shear=hyp.get("shear", 0.0),
-            border=-s // 2)
-
-        v4, l4 = A.hsv_jitter(k_hsv, v4, l4, hyp.get("hsv_h", 0.0),
-                              hyp.get("hsv_s", 0.0), hyp.get("hsv_v", 0.0))
-
-        targets = A.xyxy_to_norm_xywh(lab4, m4, (s, s))
-        v4, l4, targets = A.flip_lr(k_flip, v4, l4, targets)
-        targets = jnp.where(m4[..., None], targets, 0.0)
-        return {"v": v4 / 255.0, "l": l4 / 255.0,
-                "targets": targets, "tmask": m4}
+        c = max((d for d in range(1, nb + 1)
+                 if nb % d == 0 and d <= chunk), default=nb) if chunk else nb
+        per = (idx, centers, cut_u, Ms, hsv_r, do)
+        if c < nb:
+            per = jax.tree.map(
+                lambda a: a.reshape((nb // c, c) + a.shape[1:]), per)
+            v4, l4, targets, m4 = jax.lax.map(
+                lambda p: heavy(v_u8, l_u8, lab, lmask, *p), per)
+            v4, l4, targets, m4 = (
+                x.reshape((nb,) + x.shape[2:]) for x in (v4, l4, targets, m4))
+        else:
+            v4, l4, targets, m4 = heavy(v_u8, l_u8, lab, lmask, *per)
+        return {"v": v4, "l": l4, "targets": targets, "tmask": m4}
 
     return fn
 
