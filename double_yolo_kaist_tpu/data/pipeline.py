@@ -79,7 +79,9 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
                                             n_snow=n_snow, u=cut_u)
 
         v4, l4, lab4, m4 = A.random_affine_batch(
-            None, v4, l4, lab4, m4, border=-s // 2, Ms=Ms)
+            None, v4, l4, lab4, m4, border=-s // 2, Ms=Ms,
+            separable=(hyp.get("degrees", 0.0) == 0.0
+                       and hyp.get("shear", 0.0) == 0.0))
 
         v4, l4 = A.hsv_jitter(None, v4, l4, 0, 0, 0, gains=hsv_r)
 

@@ -53,7 +53,7 @@ def _assert_same(a, b):
         if x.dtype == bool:
             np.testing.assert_array_equal(x, y, err_msg=k)
         else:
-            np.testing.assert_allclose(x, y, atol=1e-5, rtol=1e-4,
+            np.testing.assert_allclose(x, y, atol=5e-5, rtol=5e-4,
                                        err_msg=k)
 
 

@@ -61,6 +61,43 @@ def test_warp_matches_cv2():
     assert np.quantile(diff, 0.999) <= 2.0, diff.max()
 
 
+def test_warp_separable_matches_general_and_cv2():
+    """Axis-aligned affine (degrees=shear=0, any scale/translate): the
+    separable fast path must equal the general 2-D gather path bit-for-bit
+    (same clipped indices, same lerp order) and cv2 at interior tolerance."""
+    img = _img(64, 80, seed=4).astype(np.float32)
+    M = np.asarray(cv2.getRotationMatrix2D((40, 32), 0.0, 1.13))
+    M[0, 2] += 3.7   # translation
+    M[1, 2] -= 2.2
+    M3 = np.eye(3)
+    M3[:2] = M
+    minv = jnp.asarray(np.linalg.inv(M3))
+    gen = np.asarray(A._warp_bilinear(jnp.asarray(img), minv, 64, 80))
+    sep = np.asarray(A._warp_bilinear(jnp.asarray(img), minv, 64, 80,
+                                      separable=True))
+    np.testing.assert_allclose(sep, gen, atol=1e-3, rtol=1e-5)
+    ref = cv2.warpAffine(img, M, dsize=(80, 64), flags=cv2.INTER_LINEAR,
+                         borderValue=(0, 0, 0))
+    diff = np.abs(sep - ref)[2:-2, 2:-2]
+    assert np.quantile(diff, 0.999) <= 2.0, diff.max()
+
+
+def test_hsv_to_rgb_matches_sector_table():
+    """The branchless sector formula vs the piecewise v/q/p/t table."""
+    rng = np.random.default_rng(5)
+    hsv = rng.random((257, 3)).astype(np.float32)
+    hsv[:64, 0] = np.linspace(0, 1 - 1e-6, 64)   # sweep hue sectors
+    h, s, v = hsv[:, 0] * 6.0, hsv[:, 1], hsv[:, 2]
+    i = np.floor(h).astype(int) % 6
+    f = h - np.floor(h)
+    p, q, t = v * (1 - s), v * (1 - s * f), v * (1 - s * (1 - f))
+    r = np.choose(i, [v, q, p, p, t, v])
+    g = np.choose(i, [t, v, v, q, p, p])
+    b = np.choose(i, [p, p, t, v, v, q])
+    mine = np.asarray(A._hsv_to_rgb(jnp.asarray(hsv)))
+    np.testing.assert_allclose(mine, np.stack([r, g, b], -1), atol=2e-6)
+
+
 def test_random_affine_labels_and_mask():
     key = jax.random.PRNGKey(0)
     v = jnp.asarray(np.stack([_img(96, 96, s) for s in range(2)]), jnp.float32)
