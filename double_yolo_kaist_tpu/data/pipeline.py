@@ -30,7 +30,8 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
                           snowflake: bool = False, clahe: bool = False,
                           max_targets_per_img: int = 16,
                           epoch_partners: bool = True,
-                          chunk: int | None = None):
+                          chunk: int | None = None,
+                          from_pool: bool = False):
     """Build the jitted train-time augmentation program.
 
     src_hw: native image size (KAIST: (512, 640)); static.
@@ -45,14 +46,24 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
     the batch itself.
 
     ``chunk``: process the heavy image work ``chunk`` canvases at a time via
-    an on-device lax.map, bounding the program's temp arena. Unchunked at
-    bs32/512px the temps reach ~5.6 GB, which collides with the resident
-    train-step program's workspace on a 16 GB v5e and thrashes the allocator
-    (measured 6.4 s/batch device time vs 0.31 s alone — the round-3
-    training-throughput regression). All randoms are pre-sampled at full
-    batch shape with the exact draws of the unchunked path, so chunked and
+    an on-device lax.map, bounding the program's temp arena (unchunked at
+    bs32/512px the temps reach ~5.6 GB) and measured slightly faster on a
+    v5e (126 vs 146 ms/batch). All randoms are pre-sampled at full batch
+    shape with the exact draws of the unchunked path, so chunked and
     unchunked outputs are identical (tests/test_aug_chunk.py). Default: env
-    DYK_AUG_CHUNK (0 disables) or 8.
+    DYK_AUG_CHUNK (0 disables) or 8. (NB: the round-3 train-loop slowdown
+    this was first built for turned out to be the per-pixel gathers inside
+    the augment ops themselves — see augment.py mosaic_place/_warp_bilinear/
+    _hsv_to_rgb — not program co-residency.)
+
+    ``from_pool``: the first two array arguments are the WHOLE dataset's
+    device-resident uint8 image pools (N, H, W, 3) plus an int32 index
+    vector of the images this batch uses; the batch is gathered on device
+    (one contiguous row gather) instead of uploaded. Through the axon
+    tunnel host->device runs at ~48 MB/s, so streaming 4B source images
+    per batch (~1 GB per 4-step dispatch at bs32) costs ~21 s — with the
+    pool the steady-state upload is zero. Outputs are bit-identical to
+    the streaming path (same u8 pixels, same randoms).
     """
     s = img_size
     r = s / max(src_hw)
@@ -91,7 +102,13 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
         return v4 / 255.0, l4 / 255.0, targets, m4
 
     @jax.jit
-    def fn(key, v_u8, l_u8, labels, lmask):
+    def fn(key, v_u8, l_u8, *rest):
+        if from_pool:
+            load_idx, labels, lmask = rest
+            v_u8 = jnp.take(v_u8, load_idx, axis=0)
+            l_u8 = jnp.take(l_u8, load_idx, axis=0)
+        else:
+            labels, lmask = rest
         k_mosaic, k_cut, k_affine, k_hsv, k_flip = jax.random.split(key, 5)
 
         # normalized xywh -> absolute xyxy in the resized frame
@@ -212,11 +229,48 @@ def make_letterbox_fn(src_hw, dst_hw, scale_up: bool = True,
 
 # ------------------------------------------------------------------ iterators
 
+def device_image_pool(dataset, src_hw, force: bool | None = None):
+    """Upload the whole dataset's uint8 source pairs to device memory ONCE,
+    as two (N, H, W, 3) arrays cached on the dataset object.
+
+    TPU-native dataset residency: host->device bandwidth is the train-loop
+    bottleneck when source images stream per batch (the mosaic path reads
+    4B images per batch; through the axon tunnel at ~48 MB/s that is ~21 s
+    per 4-step dispatch at bs32 — measured, tools/aug_probe.py). With the
+    pool, a batch is one on-device row gather and steady-state upload is
+    zero. KAIST-scale sets fit comfortably when sharded (10 GB / 8 chips);
+    single-chip use is gated by DYK_DEVICE_CACHE_GB (default 4 GB).
+
+    ``force``: True uploads regardless of budget, False disables, None
+    auto-enables when 2*N*H*W*3 bytes fit the budget."""
+    if force is False:
+        return None
+    pool = getattr(dataset, "_device_pool", None)
+    if pool is not None:
+        return pool
+    n = len(dataset)
+    h, w = src_hw
+    need = 2 * n * h * w * 3
+    budget = float(os.environ.get("DYK_DEVICE_CACHE_GB", "4")) * 1e9
+    if force is None and need > budget:
+        return None
+    cv, cl = [], []
+    for i0 in range(0, n, 64):
+        pairs = [dataset.load_pair(i) for i in range(i0, min(i0 + 64, n))]
+        cv.append(jnp.asarray(np.stack([p[0] for p in pairs])))
+        cl.append(jnp.asarray(np.stack([p[1] for p in pairs])))
+    pool = (jnp.concatenate(cv, 0), jnp.concatenate(cl, 0))
+    jax.block_until_ready(pool)
+    dataset._device_pool = pool
+    return pool
+
+
 def train_batches(dataset, batch_size: int, key, *, img_size,
                   hyp: dict, snowflake: bool = False,
                   max_targets_per_img: int = 16, shuffle: bool = True,
                   drop_last: bool = True, seed_epoch: int = 0,
-                  epoch_partners: bool = True):
+                  epoch_partners: bool = True,
+                  device_cache: bool | None = None):
     """Yield jitted-augmented device batches for one epoch.
 
     ``img_size`` may be an int or a list of bucket sizes; with a list, the
@@ -234,10 +288,12 @@ def train_batches(dataset, batch_size: int, key, *, img_size,
     distribution)."""
     n = len(dataset)
     src_hw = tuple(int(x) for x in dataset.shapes[0][::-1])
+    pool = device_image_pool(dataset, src_hw, device_cache)
     sizes = [img_size] if isinstance(img_size, int) else list(img_size)
     augs = {s: make_train_augment_fn(src_hw, s, hyp, snowflake=snowflake,
                                      max_targets_per_img=max_targets_per_img,
-                                     epoch_partners=epoch_partners)
+                                     epoch_partners=epoch_partners,
+                                     from_pool=pool is not None)
             for s in sizes}
     order = np.arange(n)
     rng = np.random.default_rng(seed_epoch)
@@ -251,14 +307,20 @@ def train_batches(dataset, batch_size: int, key, *, img_size,
         load = list(idx)
         if epoch_partners:
             load += list(rng.integers(0, n, 3 * len(idx)))
-        vs, ls = zip(*(dataset.load_pair(i) for i in load))
         labels = [dataset.labels[i] for i in load]
         t, m = pad_labels(labels, max_targets_per_img)
         sub = jax.random.fold_in(key, b0)
         size = sizes[int(rng.integers(len(sizes)))]
-        batch = augs[size](
-            sub, jnp.asarray(np.stack(vs)), jnp.asarray(np.stack(ls)),
-            jnp.asarray(t), jnp.asarray(m))
+        if pool is not None:
+            batch = augs[size](
+                sub, pool[0], pool[1],
+                jnp.asarray(np.asarray(load, np.int32)),
+                jnp.asarray(t), jnp.asarray(m))
+        else:
+            vs, ls = zip(*(dataset.load_pair(i) for i in load))
+            batch = augs[size](
+                sub, jnp.asarray(np.stack(vs)), jnp.asarray(np.stack(ls)),
+                jnp.asarray(t), jnp.asarray(m))
         yield batch, idx
 
 

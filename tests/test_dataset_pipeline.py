@@ -132,6 +132,44 @@ def test_train_batches_shapes(mini_kaist):
     assert (t[m][:, 1:] >= 0).all() and (t[m][:, 1:] <= 1).all()
 
 
+def test_device_pool_matches_streaming(mini_kaist):
+    """Device-resident image pool (train_batches(device_cache=True)): the
+    whole dataset's u8 pairs live on device and each batch is an on-device
+    row gather — the yielded batches must be bit-identical to the streaming
+    (per-batch upload) path under the same keys/seed."""
+    ds_a = KaistDataset(mini_kaist, img_size=64, batch_size=4, augment=True,
+                        hyp=HYP)
+    ds_b = KaistDataset(mini_kaist, img_size=64, batch_size=4, augment=True,
+                        hyp=HYP)
+    key = jax.random.PRNGKey(7)
+    stream = list(train_batches(ds_a, 4, key, img_size=64, hyp=HYP,
+                                max_targets_per_img=8, device_cache=False))
+    pooled = list(train_batches(ds_b, 4, key, img_size=64, hyp=HYP,
+                                max_targets_per_img=8, device_cache=True))
+    assert ds_b._device_pool is not None and ds_a is not ds_b
+    assert len(stream) == len(pooled) == 2
+    for (ba, ia), (bb, ib) in zip(stream, pooled):
+        np.testing.assert_array_equal(ia, ib)
+        for k in ("v", "l", "targets", "tmask"):
+            np.testing.assert_array_equal(np.asarray(ba[k]),
+                                          np.asarray(bb[k]), err_msg=k)
+
+
+def test_device_pool_budget_gate(mini_kaist, monkeypatch):
+    """Auto mode (device_cache=None) respects DYK_DEVICE_CACHE_GB: a budget
+    below the dataset size falls back to streaming."""
+    ds = KaistDataset(mini_kaist, img_size=64, batch_size=4, augment=True,
+                      hyp=HYP)
+    monkeypatch.setenv("DYK_DEVICE_CACHE_GB", "0.0000001")
+    next(iter(train_batches(ds, 4, jax.random.PRNGKey(0), img_size=64,
+                            hyp=HYP, max_targets_per_img=8)))
+    assert getattr(ds, "_device_pool", None) is None
+    monkeypatch.setenv("DYK_DEVICE_CACHE_GB", "4")
+    next(iter(train_batches(ds, 4, jax.random.PRNGKey(0), img_size=64,
+                            hyp=HYP, max_targets_per_img=8)))
+    assert ds._device_pool is not None
+
+
 def test_eval_batches_letterbox(mini_kaist):
     ds = KaistDataset(mini_kaist, img_size=64, batch_size=4, rect=True)
     out = list(eval_batches(ds, 4))
