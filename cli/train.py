@@ -62,6 +62,13 @@ def main(argv=None):
                         "(trades recompute for HBM at large batch)")
     p.add_argument("--no-dp", action="store_true",
                    help="disable the default data-parallel device mesh")
+    p.add_argument("--device-cache", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="keep the dataset's raw u8 pairs resident in device "
+                        "memory and gather batches on device (no per-batch "
+                        "image upload). auto: on when the dataset fits "
+                        "DYK_DEVICE_CACHE_GB (default 4 GB); off if "
+                        "training runs out of device memory")
     opt = p.parse_args(argv)
 
     # multi-host opt-in (DYK_DISTRIBUTED=1 + JAX coordinator env vars);
@@ -106,7 +113,9 @@ def main(argv=None):
                       accumulate=opt.accumulate, snowflake=opt.snow,
                       remat_segments=opt.remat_segments,
                       steps_per_dispatch=opt.steps_per_dispatch,
-                      data_parallel=not opt.no_dp)
+                      data_parallel=not opt.no_dp,
+                      device_cache={"auto": None, "on": True,
+                                    "off": False}[opt.device_cache])
     if opt.weights:
         trainer.state = trainer.state._replace(
             params=variables["params"], bn_state=variables["state"])

@@ -31,7 +31,8 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
                           max_targets_per_img: int = 16,
                           epoch_partners: bool = True,
                           chunk: int | None = None,
-                          from_pool: bool = False):
+                          from_pool: bool = False,
+                          jit: bool = True):
     """Build the jitted train-time augmentation program.
 
     src_hw: native image size (KAIST: (512, 640)); static.
@@ -64,6 +65,10 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
     per batch (~1 GB per 4-step dispatch at bs32) costs ~21 s — with the
     pool the steady-state upload is zero. Outputs are bit-identical to
     the streaming path (same u8 pixels, same randoms).
+
+    ``jit``: False returns the raw traceable function (for embedding inside
+    a larger program, e.g. the fused augment+train scan of
+    train/step.make_fused_multi_step).
     """
     s = img_size
     r = s / max(src_hw)
@@ -101,7 +106,6 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
         targets = jnp.where(m4[..., None], targets, 0.0)
         return v4 / 255.0, l4 / 255.0, targets, m4
 
-    @jax.jit
     def fn(key, v_u8, l_u8, *rest):
         if from_pool:
             load_idx, labels, lmask = rest
@@ -157,7 +161,7 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
             v4, l4, targets, m4 = heavy(v_u8, l_u8, lab, lmask, *per)
         return {"v": v4, "l": l4, "targets": targets, "tmask": m4}
 
-    return fn
+    return jax.jit(fn) if jit else fn
 
 
 def make_eval_preprocess_fn(src_hw, dst_hw, img_size: int,
@@ -261,8 +265,37 @@ def device_image_pool(dataset, src_hw, force: bool | None = None):
         cl.append(jnp.asarray(np.stack([p[1] for p in pairs])))
     pool = (jnp.concatenate(cv, 0), jnp.concatenate(cl, 0))
     jax.block_until_ready(pool)
+    print(f"device image pool: {n} pairs resident "
+          f"({need / 1e9:.2f} GB HBM); batches gather on device", flush=True)
     dataset._device_pool = pool
     return pool
+
+
+def train_batch_plan(dataset, batch_size: int, sizes, *,
+                     max_targets_per_img: int = 16, shuffle: bool = True,
+                     drop_last: bool = True, seed_epoch: int = 0,
+                     epoch_partners: bool = True):
+    """Host-side epoch plan shared by the streaming/pooled/fused paths:
+    yields (b0, idx, load, targets, tmask, size) per batch with ONE rng
+    sequence (shuffle -> per-batch partner draw -> per-batch size draw), so
+    every consumer sees identical sampling."""
+    n = len(dataset)
+    order = np.arange(n)
+    rng = np.random.default_rng(seed_epoch)
+    if shuffle:
+        rng.shuffle(order)
+    stop = n - (n % batch_size) if drop_last else n
+    for b0 in range(0, stop, batch_size):
+        idx = order[b0:b0 + batch_size]
+        if len(idx) < batch_size and drop_last:
+            break
+        load = list(idx)
+        if epoch_partners:
+            load += list(rng.integers(0, n, 3 * len(idx)))
+        t, m = pad_labels([dataset.labels[i] for i in load],
+                          max_targets_per_img)
+        size = sizes[int(rng.integers(len(sizes)))]
+        yield b0, idx, np.asarray(load, np.int32), t, m, size
 
 
 def train_batches(dataset, batch_size: int, key, *, img_size,
@@ -286,7 +319,6 @@ def train_batches(dataset, batch_size: int, key, *, img_size,
     is trivial with ``cache_images``. False: partners drawn on device from
     the batch itself (B images in — cheaper host IO, narrower partner
     distribution)."""
-    n = len(dataset)
     src_hw = tuple(int(x) for x in dataset.shapes[0][::-1])
     pool = device_image_pool(dataset, src_hw, device_cache)
     sizes = [img_size] if isinstance(img_size, int) else list(img_size)
@@ -295,27 +327,15 @@ def train_batches(dataset, batch_size: int, key, *, img_size,
                                      epoch_partners=epoch_partners,
                                      from_pool=pool is not None)
             for s in sizes}
-    order = np.arange(n)
-    rng = np.random.default_rng(seed_epoch)
-    if shuffle:
-        rng.shuffle(order)
-    stop = n - (n % batch_size) if drop_last else n
-    for b0 in range(0, stop, batch_size):
-        idx = order[b0:b0 + batch_size]
-        if len(idx) < batch_size and drop_last:
-            break
-        load = list(idx)
-        if epoch_partners:
-            load += list(rng.integers(0, n, 3 * len(idx)))
-        labels = [dataset.labels[i] for i in load]
-        t, m = pad_labels(labels, max_targets_per_img)
+    for b0, idx, load, t, m, size in train_batch_plan(
+            dataset, batch_size, sizes,
+            max_targets_per_img=max_targets_per_img, shuffle=shuffle,
+            drop_last=drop_last, seed_epoch=seed_epoch,
+            epoch_partners=epoch_partners):
         sub = jax.random.fold_in(key, b0)
-        size = sizes[int(rng.integers(len(sizes)))]
         if pool is not None:
-            batch = augs[size](
-                sub, pool[0], pool[1],
-                jnp.asarray(np.asarray(load, np.int32)),
-                jnp.asarray(t), jnp.asarray(m))
+            batch = augs[size](sub, pool[0], pool[1], jnp.asarray(load),
+                               jnp.asarray(t), jnp.asarray(m))
         else:
             vs, ls = zip(*(dataset.load_pair(i) for i in load))
             batch = augs[size](

@@ -127,6 +127,67 @@ def make_multi_step(ir, hyp: dict, tx, *, gr: float = 1.0,
     return jax.jit(multi, donate_argnums=(0,))
 
 
+def make_fused_multi_step(ir, hyp: dict, tx, aug_fn, *, gr: float = 1.0,
+                          compute_dtype=jnp.bfloat16, ema_decay: float = 0.9999,
+                          remat_segments: int = 0):
+    """K steps per dispatch with ON-DEVICE augmentation inside the scan.
+
+    The fully device-resident training loop: the host sends only batch
+    indices, padded labels, and keys per dispatch; each scan iteration
+    gathers its source images from the device-resident uint8 pool
+    (data/pipeline.device_image_pool), augments, and runs one optimizer
+    step — source pixels never cross the host link and the per-batch
+    augment programs collapse into the train dispatch (64 extra dispatches
+    per 512-img epoch at bs8 through a ~100 ms-latency attachment).
+
+    ``aug_fn``: raw traceable augment fn from
+    make_train_augment_fn(..., from_pool=True, jit=False).
+
+    (state, pool_v, pool_l, xs, aug_key, rng) -> (state, stacked metrics)
+    where xs = {"b0": (K,), "load": (K, 4B), "targets": (K, B, T, 5),
+    "tmask": (K, B, T)}. Key parity with the unfused path: augment key for
+    step k is fold_in(aug_key, b0[k]) (identical to train_batches) and the
+    step rng chains fold_in(rng, 1) per iteration (identical to
+    make_multi_step), so fused == unfused bit-for-bit given the same epoch
+    key and group rng."""
+    specs = LS.head_specs(ir)
+
+    def multi(state: TrainState, pool_v, pool_l, xs: dict, aug_key, rng):
+        def one_step(carry, x):
+            state, rng = carry
+            batch = aug_fn(jax.random.fold_in(aug_key, x["b0"]),
+                           pool_v, pool_l, x["load"], x["targets"],
+                           x["tmask"])
+            xv, xl = batch["v"], batch.get("l")
+
+            def loss_fn(params):
+                raws, new_bn = graph.apply(
+                    ir, {"params": params, "state": state.bn_state}, xv, xl,
+                    train=True, rng=rng, compute_dtype=compute_dtype,
+                    remat_segments=remat_segments)
+                ld = LS.compute_loss(raws, batch["targets"], batch["tmask"],
+                                     specs, hyp, gr)
+                return LS.total_loss(ld), (ld, new_bn)
+
+            (total, (ld, new_bn)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema = state.ema
+            if ema is not None:
+                ema = OPT.ema_update(ema, params, ema_decay)
+            metrics = {**ld, "loss": total}
+            new_state = TrainState(params, new_bn, opt_state, state.step + 1,
+                                   ema)
+            return (new_state, jax.random.fold_in(rng, 1)), metrics
+
+        (state, _), metrics = jax.lax.scan(one_step, (state, rng), xs)
+        return state, metrics
+
+    return jax.jit(multi, donate_argnums=(0,))
+
+
 def make_eval_step(ir, *, compute_dtype=jnp.bfloat16, folded: bool = False):
     """Jitted inference step -> decoded predictions (bs, total, no) fp32."""
     if folded:

@@ -65,7 +65,8 @@ class Trainer:
                  name: str = "exp", accumulate: int = 1,
                  snowflake: bool = False, seed: int = 0,
                  remat_segments: int = 0, steps_per_dispatch: int = 1,
-                 data_parallel: bool = True, devices=None):
+                 data_parallel: bool = True, devices=None,
+                 device_cache: bool | None = None):
         self.ir = ir
         self.hyp = dict(hyp)
         self.epochs = epochs
@@ -75,6 +76,11 @@ class Trainer:
         self.val_dataset = val_dataset
         self.multi_scale = multi_scale
         self.snowflake = snowflake
+        # None: auto (pool the dataset's u8 pairs in HBM when they fit the
+        # DYK_DEVICE_CACHE_GB budget); True/False force. The pool removes
+        # per-batch image upload (crucial on slow host links) but co-resides
+        # with the train step's workspace — turn off if training OOMs.
+        self.device_cache = device_cache
         self.compute_dtype = compute_dtype
         self.out_dir = os.path.join(out_dir, name)
         os.makedirs(self.out_dir, exist_ok=True)
@@ -112,6 +118,8 @@ class Trainer:
             raise ValueError("steps_per_dispatch>1 requires a fixed image "
                              "size (stacked batches share one shape)")
         self.steps_per_dispatch = steps_per_dispatch
+        self.remat_segments = remat_segments
+        self._fused_step = None   # built lazily when the device pool engages
         if steps_per_dispatch > 1:
             from .step import make_multi_step
             self.step_fn = make_multi_step(ir, self.hyp, self.tx,
@@ -178,15 +186,27 @@ class Trainer:
         from ..utils.profiling import StepTimer
 
         self._place_state()
+        key = jax.random.fold_in(jax.random.PRNGKey(123), epoch)
+        # fused path: multi-step dispatch + device-resident pool -> one XLA
+        # program per K steps does gather+augment+train entirely on device
+        if self.steps_per_dispatch > 1 and not self.multi_scale:
+            from ..data.pipeline import device_image_pool
+            src_hw = tuple(int(x)
+                           for x in self.train_dataset.shapes[0][::-1])
+            pool = device_image_pool(self.train_dataset, src_hw,
+                                     self.device_cache)
+            if pool is not None:
+                return self._train_one_epoch_fused(epoch, key, pool,
+                                                   print_freq)
         logger = MetricLogger(print_freq=print_freq)
         timer = StepTimer()
-        key = jax.random.fold_in(jax.random.PRNGKey(123), epoch)
         sizes = (multi_scale_buckets(self.img_size) if self.multi_scale
                  else self.img_size)
         batches = prefetch(train_batches(
             self.train_dataset, self.batch_size, key,
             img_size=sizes, hyp=self.hyp,
-            snowflake=self.snowflake, seed_epoch=epoch))
+            snowflake=self.snowflake, seed_epoch=epoch,
+            device_cache=self.device_cache))
         if self.steps_per_dispatch > 1:
             batches = _group_batches(batches, self.steps_per_dispatch)
         last = {}
@@ -201,6 +221,73 @@ class Trainer:
                 raise FloatingPointError(
                     f"non-finite loss at epoch {epoch} step {i}: {last} "
                     f"(images {[self.train_dataset.img_files[j] for j in idx]})")
+            logger.update(**last)
+        lr = float(self.schedule(jax.device_get(self.state.step)))
+        print(f"epoch {epoch} timing: {timer.summary()}", flush=True)
+        return last, lr
+
+    def _train_one_epoch_fused(self, epoch: int, key, pool,
+                               print_freq: int = 50):
+        """Epoch loop over the fused augment+train dispatch (see
+        step.make_fused_multi_step): host work per dispatch is index
+        sampling + label padding only."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..data.pipeline import make_train_augment_fn, train_batch_plan
+        from ..utils.profiling import StepTimer
+
+        ds = self.train_dataset
+        K = self.steps_per_dispatch
+        if self._fused_step is None:
+            src_hw = tuple(int(x) for x in ds.shapes[0][::-1])
+            aug = make_train_augment_fn(
+                src_hw, self.img_size, self.hyp, snowflake=self.snowflake,
+                from_pool=True, jit=False)
+            from .step import make_fused_multi_step
+            self._fused_step = make_fused_multi_step(
+                self.ir, self.hyp, self.tx, aug,
+                compute_dtype=self.compute_dtype,
+                remat_segments=self.remat_segments)
+        pool_v, pool_l = pool
+        if self.mesh is not None:
+            rep = NamedSharding(self.mesh, P())
+            pool_v = jax.device_put(pool_v, rep)
+            pool_l = jax.device_put(pool_l, rep)
+
+        def groups():
+            buf = []
+            for b0, idx, load, t, m, _ in train_batch_plan(
+                    ds, self.batch_size, [self.img_size], seed_epoch=epoch):
+                buf.append((b0, idx, load, t, m))
+                if len(buf) == K:
+                    xs = {"b0": np.asarray([b[0] for b in buf], np.int32),
+                          "load": np.stack([b[2] for b in buf]),
+                          "targets": np.stack([b[3] for b in buf]),
+                          "tmask": np.stack([b[4] for b in buf])}
+                    yield xs, np.concatenate([b[1] for b in buf])
+                    buf = []
+
+        logger = MetricLogger(print_freq=print_freq)
+        timer = StepTimer()
+        last = {}
+        for i, (xs, idx) in logger.log_every(groups(), f"epoch {epoch}"):
+            if self.mesh is not None:
+                sharded = M.shard_batch(
+                    {k: v for k, v in xs.items() if k != "b0"},
+                    self.mesh, batch_dim=1)
+                xs = {"b0": M.replicate(jnp.asarray(xs["b0"]), self.mesh),
+                      **sharded}
+            timer.data_ready()
+            self.state, metrics = self._fused_step(
+                self.state, pool_v, pool_l, xs, key,
+                jax.random.fold_in(key, i))
+            last = {k: float(np.asarray(v).ravel()[-1])
+                    for k, v in metrics.items()}
+            timer.step_done()
+            if not math.isfinite(last["loss"]):
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch} dispatch {i}: {last} "
+                    f"(images {[ds.img_files[j] for j in idx]})")
             logger.update(**last)
         lr = float(self.schedule(jax.device_get(self.state.step)))
         print(f"epoch {epoch} timing: {timer.summary()}", flush=True)

@@ -1,18 +1,22 @@
-"""Scan-based multi-step trainer == sequence of single steps."""
+"""Scan-based multi-step trainer == sequence of single steps; fused
+augment+train dispatch == unfused pipeline."""
 
 import os
 
+import cv2
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 from double_yolo_kaist_tpu.config.ir import compile_cfg
+from double_yolo_kaist_tpu.data.dataset import KaistDataset
 from double_yolo_kaist_tpu.train import loss as LS
 from double_yolo_kaist_tpu.train import optim as OPT
 from double_yolo_kaist_tpu.train.step import (create_train_state,
                                               make_multi_step,
                                               make_train_step)
+from double_yolo_kaist_tpu.train.trainer import Trainer
 
 TINY = os.path.join(os.path.dirname(__file__), "fixtures", "tiny_dyolov3.cfg")
 
@@ -63,3 +67,56 @@ def test_multi_step_matches_sequential():
                                np.asarray(s1.params["l0"]["w"]),
                                rtol=1e-5, atol=1e-6)
     assert int(jax.device_get(s2.step)) == K
+
+
+FULL_HYP = {"lr0": 1e-3, "lrf": 0.1, "box": 1.0, "obj": 1.0, "cls": 1.0,
+            "cls_pw": 1.0, "obj_pw": 1.0, "iou_t": 0.2, "fl_gamma": 0.0,
+            "ciou": 1.0, "momentum": 0.9, "weight_decay": 0.0,
+            "hsv_h": 0.0138, "hsv_s": 0.678, "hsv_v": 0.36,
+            "degrees": 0.0, "translate": 0.0, "scale": 0.0, "shear": 0.0}
+
+
+def test_fused_trainer_epoch_matches_unfused(tmp_path):
+    """The fused augment+train dispatch (device pool + scan, Trainer's
+    steps_per_dispatch>1 fast path) produces the same parameters as the
+    unfused pipeline (per-batch augment programs + grouped multi-step) —
+    same epoch keys, same host sampling, same math."""
+    img_dir = tmp_path / "images" / "s"
+    lab_dir = tmp_path / "labels" / "s"
+    img_dir.mkdir(parents=True)
+    lab_dir.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    logical = []
+    for i in range(8):
+        v = rng.integers(0, 256, (128, 160, 3), dtype=np.uint8)
+        l = rng.integers(0, 256, (128, 160, 3), dtype=np.uint8)
+        cv2.imwrite(str(img_dir / f"I{i}_visible.jpg"), v)
+        cv2.imwrite(str(img_dir / f"I{i}_lwir.jpg"), l)
+        (lab_dir / f"I{i}.txt").write_text("0 0.5 0.5 0.25 0.4\n")
+        logical.append(str(img_dir / f"I{i}.jpg"))
+    split = tmp_path / "t.txt"
+    split.write_text("\n".join(logical) + "\n")
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+
+    def run(device_cache):
+        ds = KaistDataset(str(split), img_size=64, batch_size=2,
+                          augment=True, hyp=FULL_HYP)
+        tr = Trainer(ir, FULL_HYP, epochs=1, batch_size=2, img_size=64,
+                     train_dataset=ds, val_dataset=ds, sgd=True,
+                     steps_per_dispatch=2, compute_dtype=jnp.float32,
+                     out_dir=str(tmp_path / f"runs{device_cache}"),
+                     device_cache=device_cache)
+        last, _ = tr.train_one_epoch(0, print_freq=1000)
+        return tr, last
+
+    tr_f, last_f = run(True)     # pool engages -> fused path
+    tr_u, last_u = run(False)    # streaming -> per-batch augment + grouping
+    assert tr_f._fused_step is not None
+    assert tr_u._fused_step is None
+    assert int(jax.device_get(tr_f.state.step)) == 4
+    np.testing.assert_allclose(last_f["loss"], last_u["loss"],
+                               rtol=1e-5, atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        tr_f.state.params, tr_u.state.params)

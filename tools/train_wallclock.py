@@ -52,6 +52,13 @@ KAIST_TRAIN_IMAGES = 7989   # reference data/kaist_data.data train split
 def make_dataset(root: str, n: int, hw=(512, 640)):
     img_dir = os.path.join(root, "images", "set00")
     lab_dir = os.path.join(root, "labels", "set00")
+    split = os.path.join(root, "train.txt")
+    if os.path.exists(split):          # reuse across sweep runs
+        lines = open(split).read().splitlines()
+        if len(lines) == n and all(
+                os.path.exists(p.replace(".jpg", "_visible.jpg"))
+                for p in lines[:2]):
+            return split
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(lab_dir, exist_ok=True)
     rng = np.random.default_rng(0)
