@@ -89,6 +89,55 @@ def main():
         print(f"b) pinned_host path unavailable: {type(e).__name__}: "
               f"{str(e)[:300]}", flush=True)
 
+    # b2) same, but the gather is explicitly host compute (XLA host
+    # offloading): indices transferred to pinned_host, rows gathered there,
+    # result transferred back to HBM
+    try:
+        from jax.experimental.compute_on import compute_on
+
+        hostm = SingleDeviceSharding(dev, memory_kind="pinned_host")
+        ph = jax.device_put(pool_np, hostm)
+        jax.block_until_ready(ph)
+
+        @compute_on("device_host")
+        @jax.jit
+        def host_gather(p, idx):
+            # promise_in_bounds: the default clamp traces device-space
+            # constants into the host computation, which XLA rejects
+            return jnp.take(p, idx, axis=0, mode="promise_in_bounds")
+
+        devm = SingleDeviceSharding(dev, memory_kind="device")
+
+        def loop2(p, n):
+            def body(i, acc):
+                idx = (jnp.arange(B, dtype=jnp.int32) * 3 + i
+                       + (acc * 1e-18).astype(jnp.int32)) % N
+                idx_h = jax.device_put(idx, hostm)
+                rows_h = host_gather(p, idx_h)
+                rows = jax.device_put(rows_h, devm)
+                return jnp.sum(rows, dtype=jnp.float32)
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+        loop2_j = jax.jit(loop2, static_argnums=1,
+                          out_shardings=SingleDeviceSharding(dev))
+        np.asarray(loop2_j(ph, 1))
+        np.asarray(loop2_j(ph, 17))
+        base_t, full_t = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(loop2_j(ph, 1))
+            base_t.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(loop2_j(ph, 17))
+            full_t.append(time.perf_counter() - t0)
+        dt = (min(full_t) - min(base_t)) / 16
+        gb = B * H * W * 3 / 1e9
+        print(f"b2) host-compute gather: {dt * 1e3:7.2f} ms/batch  "
+              f"{gb / dt:7.2f} GB/s", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"b2) host-compute gather unavailable: {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
+
     # c) streaming baseline: fresh h2d of B rows (new buffer each time so
     # the tunnel cannot dedupe), timed end-to-end
     ts = []
