@@ -102,9 +102,10 @@ def main():
         @compute_on("device_host")
         @jax.jit
         def host_gather(p, idx):
-            # promise_in_bounds: the default clamp traces device-space
-            # constants into the host computation, which XLA rejects
-            return jnp.take(p, idx, axis=0, mode="promise_in_bounds")
+            # promise_in_bounds (.at[].get spelling — jnp.take rejects it):
+            # the default clamp traces device-space constants into the host
+            # computation, which XLA rejects
+            return p.at[idx].get(mode="promise_in_bounds")
 
         devm = SingleDeviceSharding(dev, memory_kind="device")
 
