@@ -67,8 +67,10 @@ def main(argv=None):
                    help="keep the dataset's raw u8 pairs resident in device "
                         "memory and gather batches on device (no per-batch "
                         "image upload). auto: on when the dataset fits "
-                        "DYK_DEVICE_CACHE_GB (default 4 GB); off if "
-                        "training runs out of device memory")
+                        "DYK_DEVICE_CACHE_GB (default 4 GB), else tries a "
+                        "pinned-host pool (zero HBM, DYK_HOST_CACHE_GB "
+                        "default 16 GB), else streams; off if training "
+                        "runs out of device memory")
     opt = p.parse_args(argv)
 
     # multi-host opt-in (DYK_DISTRIBUTED=1 + JAX coordinator env vars);

@@ -271,6 +271,85 @@ def device_image_pool(dataset, src_hw, force: bool | None = None):
     return pool
 
 
+def host_image_pool(dataset, src_hw):
+    """Middle residency tier: the whole dataset's uint8 pairs pinned in the
+    TPU *host's* memory (``pinned_host``), gathered per batch by an
+    XLA host-offloaded computation and DMA'd to HBM.
+
+    Sits between the HBM pool (fastest: 1.13 ms / 63 MB batch gather,
+    tools/host_pool_probe.py) and per-batch streaming (through the axon
+    tunnel: ~48 MB/s): measured 0.37 GB/s (172 ms / 63 MB batch) at ZERO
+    HBM cost — full KAIST (15.7 GB) fits where the HBM pool cannot.
+    Auto-selected by ``train_batches`` when the dataset exceeds
+    DYK_DEVICE_CACHE_GB but fits DYK_HOST_CACHE_GB (default 16); returns
+    None when the backend has no addressable pinned_host memory space
+    (e.g. the CPU test backend) so callers fall back to streaming.
+
+    Returns (pool_v, pool_l, gather_fn) with
+    gather_fn(pool, idx_np) -> (B, H, W, 3) uint8 rows in device memory."""
+    cached = getattr(dataset, "_host_pool", None)
+    if cached is not None:
+        return cached
+    n = len(dataset)
+    h, w = src_hw
+    try:
+        from jax.experimental.compute_on import compute_on
+        from jax.sharding import SingleDeviceSharding
+
+        dev = jax.devices()[0]
+        hostm = SingleDeviceSharding(dev, memory_kind="pinned_host")
+        devm = SingleDeviceSharding(dev, memory_kind="device")
+
+        @compute_on("device_host")
+        @jax.jit
+        def _hgather(p, idx):
+            # .at[].get spelling: jnp.take rejects promise_in_bounds, and
+            # the default clamp traces device-space constants into the host
+            # computation, which XLA rejects
+            return p.at[idx].get(mode="promise_in_bounds")
+
+        def upload(stream):
+            # assemble in local host RAM, then ONE device_put straight into
+            # pinned_host — any jnp op on pinned_host rows (e.g. a
+            # concatenate of chunks) would dispatch a device computation
+            # and drag the pool through HBM
+            buf = np.empty((n, h, w, 3), np.uint8)
+            for i in range(n):
+                buf[i] = dataset.load_pair(i)[stream]
+            out = jax.device_put(buf, hostm)
+            jax.block_until_ready(out)
+            return out
+
+        def gather(pool, idx_np):
+            idx = jax.device_put(jnp.asarray(idx_np, jnp.int32), hostm)
+            return jax.device_put(_hgather(pool, idx), devm)
+
+        pool_v, pool_l = upload(0), upload(1)
+        # smoke one row end-to-end before committing to this tier: some
+        # backends enumerate pinned_host yet fail at host-offload compile,
+        # and the CPU backend "transfers" to device space but leaves the
+        # result tagged <host>, which then poisons every downstream gather
+        probe = gather(pool_v, np.zeros((2,), np.int32))
+        assert np.asarray(probe).shape == (2, h, w, 3)
+        # ... and that downstream jitted programs accept the rows as a
+        # device-space operand (the CPU backend reports memory_kind
+        # "device" on the transfer result yet still traces it as <host>,
+        # which poisons every gather inside the augment program)
+        jax.block_until_ready(jax.jit(
+            lambda r, i: jnp.take(r, i, axis=0))(
+                probe, jnp.zeros((1, 2), jnp.int32)))
+    except Exception as e:  # noqa: BLE001 — fall back to streaming
+        print(f"host image pool unavailable "
+              f"({type(e).__name__}: {str(e)[:200]}); streaming instead",
+              flush=True)
+        return None
+    print(f"host image pool: {n} pairs pinned in host memory "
+          f"({2 * n * h * w * 3 / 1e9:.2f} GB, zero HBM); batches gather "
+          f"host-side", flush=True)
+    dataset._host_pool = (pool_v, pool_l, gather)
+    return dataset._host_pool
+
+
 def train_batch_plan(dataset, batch_size: int, sizes, *,
                      max_targets_per_img: int = 16, shuffle: bool = True,
                      drop_last: bool = True, seed_epoch: int = 0,
@@ -321,6 +400,15 @@ def train_batches(dataset, batch_size: int, key, *, img_size,
     distribution)."""
     src_hw = tuple(int(x) for x in dataset.shapes[0][::-1])
     pool = device_image_pool(dataset, src_hw, device_cache)
+    hpool = None
+    if pool is None and device_cache is not False:
+        # HBM budget exceeded (or single batch too small to matter): try the
+        # pinned-host middle tier before falling back to per-batch streaming
+        n = len(dataset)
+        need = 2 * n * src_hw[0] * src_hw[1] * 3
+        hbudget = float(os.environ.get("DYK_HOST_CACHE_GB", "16")) * 1e9
+        if need <= hbudget:
+            hpool = host_image_pool(dataset, src_hw)
     sizes = [img_size] if isinstance(img_size, int) else list(img_size)
     augs = {s: make_train_augment_fn(src_hw, s, hyp, snowflake=snowflake,
                                      max_targets_per_img=max_targets_per_img,
@@ -335,6 +423,10 @@ def train_batches(dataset, batch_size: int, key, *, img_size,
         sub = jax.random.fold_in(key, b0)
         if pool is not None:
             batch = augs[size](sub, pool[0], pool[1], jnp.asarray(load),
+                               jnp.asarray(t), jnp.asarray(m))
+        elif hpool is not None:
+            pv, pl, gather = hpool
+            batch = augs[size](sub, gather(pv, load), gather(pl, load),
                                jnp.asarray(t), jnp.asarray(m))
         else:
             vs, ls = zip(*(dataset.load_pair(i) for i in load))

@@ -161,13 +161,46 @@ def test_device_pool_budget_gate(mini_kaist, monkeypatch):
     ds = KaistDataset(mini_kaist, img_size=64, batch_size=4, augment=True,
                       hyp=HYP)
     monkeypatch.setenv("DYK_DEVICE_CACHE_GB", "0.0000001")
+    monkeypatch.setenv("DYK_HOST_CACHE_GB", "0")   # pin to pure streaming
     next(iter(train_batches(ds, 4, jax.random.PRNGKey(0), img_size=64,
                             hyp=HYP, max_targets_per_img=8)))
     assert getattr(ds, "_device_pool", None) is None
+    assert getattr(ds, "_host_pool", None) is None
     monkeypatch.setenv("DYK_DEVICE_CACHE_GB", "4")
     next(iter(train_batches(ds, 4, jax.random.PRNGKey(0), img_size=64,
                             hyp=HYP, max_targets_per_img=8)))
     assert ds._device_pool is not None
+
+
+def test_host_pool_matches_streaming(mini_kaist, monkeypatch):
+    """Pinned-host middle tier (auto-selected when the dataset exceeds the
+    HBM budget but fits DYK_HOST_CACHE_GB): batches must be bit-identical to
+    streaming. Skips when the backend has no usable pinned_host memory
+    space (the virtual CPU mesh may not)."""
+    from double_yolo_kaist_tpu.data.pipeline import host_image_pool
+
+    ds = KaistDataset(mini_kaist, img_size=64, batch_size=4, augment=True,
+                      hyp=HYP)
+    src_hw = tuple(int(x) for x in ds.shapes[0][::-1])
+    if host_image_pool(ds, src_hw) is None:
+        import pytest
+        pytest.skip("backend lacks pinned_host host-offload support")
+    monkeypatch.setenv("DYK_DEVICE_CACHE_GB", "0.0000001")  # force off HBM
+    key = jax.random.PRNGKey(11)
+    hosted = list(train_batches(ds, 4, key, img_size=64, hyp=HYP,
+                                max_targets_per_img=8))
+    assert getattr(ds, "_device_pool", None) is None
+    assert ds._host_pool is not None
+    ds2 = KaistDataset(mini_kaist, img_size=64, batch_size=4, augment=True,
+                       hyp=HYP)
+    stream = list(train_batches(ds2, 4, key, img_size=64, hyp=HYP,
+                                max_targets_per_img=8, device_cache=False))
+    assert len(stream) == len(hosted) == 2
+    for (ba, ia), (bb, ib) in zip(stream, hosted):
+        np.testing.assert_array_equal(ia, ib)
+        for k in ("v", "l", "targets", "tmask"):
+            np.testing.assert_array_equal(np.asarray(ba[k]),
+                                          np.asarray(bb[k]), err_msg=k)
 
 
 def test_eval_batches_letterbox(mini_kaist):
