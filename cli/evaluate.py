@@ -47,6 +47,12 @@ def main(argv=None):
                    help="quantization plan: 3x3-only / int8 chains / all convs")
     p.add_argument("--cache-images", choices=("ram", "disk"), default=None,
                    help="cache decoded pairs (see cli/train.py)")
+    p.add_argument("--device-cache", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="keep the eval split's u8 pairs resident (HBM if it "
+                        "fits DYK_DEVICE_CACHE_GB, else pinned host memory) "
+                        "and gather batches device-side instead of "
+                        "re-uploading them")
     opt = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -62,6 +68,7 @@ def main(argv=None):
         compute_dtype=jnp.float32 if opt.fp32 else jnp.bfloat16,
         int8=opt.int8, int8_mode=opt.int8_mode, merge=opt.merge_nms,
         calibration_pct=opt.calibration_pct,
+        device_cache={"auto": None, "on": True, "off": False}[opt.device_cache],
         progress=True)
 
     print(summarize(res["coco_stats"]))

@@ -165,12 +165,16 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
 
 
 def make_eval_preprocess_fn(src_hw, dst_hw, img_size: int,
-                            clahe: bool = False):
+                            clahe: bool = False, from_pool: bool = False):
     """Jitted eval preprocessing with the reference's exact two stages:
     (1) load_image max-side resize to img_size with int() truncation
     (kaist_dataset.py:203-208), then (2) letterbox pad to dst_hw with
     scale_up=False (img_utils.py:5-53). Returns (fn, ratio, pad) matching the
-    reference's ``shapes`` tuple for scale_coords undo."""
+    reference's ``shapes`` tuple for scale_coords undo.
+
+    ``from_pool``: fn takes the whole dataset's device-resident u8 pools
+    plus an index vector and gathers the batch rows inside the same jitted
+    program (one dispatch; no per-batch upload)."""
     h0, w0 = src_hw
     r1 = img_size / max(h0, w0)
     h1, w1 = (int(h0 * r1), int(w0 * r1)) if r1 != 1 else (h0, w0)
@@ -181,8 +185,7 @@ def make_eval_preprocess_fn(src_hw, dst_hw, img_size: int,
     top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
     bottom, right = dst_hw[0] - new_h - top, dst_hw[1] - new_w - left
 
-    @jax.jit
-    def fn(v_u8, l_u8):
+    def core(v_u8, l_u8):
         v = A.resize_bilinear(v_u8, h1, w1)
         l = A.resize_bilinear(l_u8, h1, w1)
         if clahe:
@@ -197,6 +200,12 @@ def make_eval_preprocess_fn(src_hw, dst_hw, img_size: int,
         v = jnp.pad(v, pad_widths)
         l = jnp.pad(l, pad_widths)
         return v / 255.0, l / 255.0
+
+    if from_pool:
+        fn = jax.jit(lambda pool_v, pool_l, idx: core(
+            jnp.take(pool_v, idx, axis=0), jnp.take(pool_l, idx, axis=0)))
+    else:
+        fn = jax.jit(core)
 
     # reference shapes tuple: ((h0, w0), ((h1/h0, w1/w0), (dw, dh)))
     return fn, (h1 / h0, w1 / w0), (dw, dh)
@@ -256,7 +265,11 @@ def device_image_pool(dataset, src_hw, force: bool | None = None):
     h, w = src_hw
     need = 2 * n * h * w * 3
     budget = float(os.environ.get("DYK_DEVICE_CACHE_GB", "4")) * 1e9
-    if force is None and need > budget:
+    # the budget is shared across ALL pools this process builds (train set +
+    # in-train eval set + ...): auto mode declines when the new pool would
+    # push the combined residency past it, so an eval pool can never OOM a
+    # training run that fit
+    if force is None and need + _RESIDENT["bytes"] > budget:
         return None
     cv, cl = [], []
     for i0 in range(0, n, 64):
@@ -268,7 +281,33 @@ def device_image_pool(dataset, src_hw, force: bool | None = None):
     print(f"device image pool: {n} pairs resident "
           f"({need / 1e9:.2f} GB HBM); batches gather on device", flush=True)
     dataset._device_pool = pool
+    _RESIDENT["bytes"] += need
     return pool
+
+
+# combined HBM bytes of every device_image_pool built by this process
+_RESIDENT = {"bytes": 0}
+
+
+def select_image_pool(dataset, src_hw, device_cache):
+    """Residency-tier selection shared by the train and eval input
+    pipelines: ("hbm", (pool_v, pool_l)) when the dataset fits the shared
+    DYK_DEVICE_CACHE_GB budget (or device_cache=True forces it), else
+    ("host", (pool_v, pool_l, gather)) when it fits DYK_HOST_CACHE_GB and
+    the backend supports pinned_host host-offload, else (None, None) —
+    per-batch streaming."""
+    pool = device_image_pool(dataset, src_hw, device_cache)
+    if pool is not None:
+        return "hbm", pool
+    if device_cache is not False:
+        n = len(dataset)
+        need = 2 * n * src_hw[0] * src_hw[1] * 3
+        hbudget = float(os.environ.get("DYK_HOST_CACHE_GB", "16")) * 1e9
+        if need <= hbudget:
+            hpool = host_image_pool(dataset, src_hw)
+            if hpool is not None:
+                return "host", hpool
+    return None, None
 
 
 def host_image_pool(dataset, src_hw):
@@ -399,16 +438,9 @@ def train_batches(dataset, batch_size: int, key, *, img_size,
     the batch itself (B images in — cheaper host IO, narrower partner
     distribution)."""
     src_hw = tuple(int(x) for x in dataset.shapes[0][::-1])
-    pool = device_image_pool(dataset, src_hw, device_cache)
-    hpool = None
-    if pool is None and device_cache is not False:
-        # HBM budget exceeded (or single batch too small to matter): try the
-        # pinned-host middle tier before falling back to per-batch streaming
-        n = len(dataset)
-        need = 2 * n * src_hw[0] * src_hw[1] * 3
-        hbudget = float(os.environ.get("DYK_HOST_CACHE_GB", "16")) * 1e9
-        if need <= hbudget:
-            hpool = host_image_pool(dataset, src_hw)
+    tier, tpool = select_image_pool(dataset, src_hw, device_cache)
+    pool = tpool if tier == "hbm" else None
+    hpool = tpool if tier == "host" else None
     sizes = [img_size] if isinstance(img_size, int) else list(img_size)
     augs = {s: make_train_augment_fn(src_hw, s, hyp, snowflake=snowflake,
                                      max_targets_per_img=max_targets_per_img,
@@ -473,10 +505,24 @@ def prefetch(iterator, depth: int = 2):
 _EVAL_PRE_CACHE: dict = {}
 
 
-def eval_batches(dataset, batch_size: int):
-    """Yield (v, l, indices, ratio_pad) rect-letterboxed device batches."""
+def eval_batches(dataset, batch_size: int, device_cache: bool | None = None):
+    """Yield (v, l, indices, ratio_pad) rect-letterboxed device batches.
+
+    ``device_cache``: same residency tiers as train_batches — with an
+    HBM-resident pool the row gather happens INSIDE the jitted preprocess
+    program (one dispatch, zero upload; in-train eval otherwise re-uploads
+    the whole eval split every epoch at tunnel/PCIe speed), with a
+    pinned-host pool rows are host-gathered then DMA'd, else per-batch
+    streaming. Pooling requires uniformly-shaped source images (KAIST is);
+    mixed-shape datasets stream."""
     n = len(dataset)
     fns = _EVAL_PRE_CACHE
+    tier = pool = None
+    if n and device_cache is not False:
+        shapes = np.asarray(dataset.shapes)
+        if (shapes == shapes[0]).all():
+            src_hw0 = tuple(int(x) for x in shapes[0][::-1])
+            tier, pool = select_image_pool(dataset, src_hw0, device_cache)
     for b0 in range(0, n, batch_size):
         idx = np.arange(b0, min(b0 + batch_size, n))
         src_hw = tuple(int(x) for x in dataset.shapes[idx[0]][::-1])
@@ -484,11 +530,19 @@ def eval_batches(dataset, batch_size: int):
             dst = tuple(dataset.batch_shapes[dataset.batch_index[idx[0]]])
         else:
             dst = (dataset.img_size, dataset.img_size)
-        sig = (src_hw, dst, len(idx), dataset.img_size, dataset.clahe)
+        sig = (src_hw, dst, len(idx), dataset.img_size, dataset.clahe,
+               tier == "hbm")
         if sig not in fns:
             fns[sig] = make_eval_preprocess_fn(src_hw, dst, dataset.img_size,
-                                               clahe=dataset.clahe)
+                                               clahe=dataset.clahe,
+                                               from_pool=tier == "hbm")
         fn, r, pad = fns[sig]
-        vs, ls = zip(*(dataset.load_pair(i) for i in idx))
-        v, l = fn(jnp.asarray(np.stack(vs)), jnp.asarray(np.stack(ls)))
+        if tier == "hbm":
+            v, l = fn(pool[0], pool[1], jnp.asarray(idx, jnp.int32))
+        elif tier == "host":
+            pv, pl, gather = pool
+            v, l = fn(gather(pv, idx), gather(pl, idx))
+        else:
+            vs, ls = zip(*(dataset.load_pair(i) for i in idx))
+            v, l = fn(jnp.asarray(np.stack(vs)), jnp.asarray(np.stack(ls)))
         yield v, l, idx, (r, pad)

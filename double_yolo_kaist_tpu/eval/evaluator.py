@@ -53,7 +53,7 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
                      progress: bool = False, int8: bool = False,
                      int8_mode: str = "chain", calibration_batches: int = 2,
                      calibration_pct: float = 100.0, merge: bool = False,
-                     mesh=None):
+                     mesh=None, device_cache: bool | None = None):
     """Run the full eval loop. Returns dict with coco stats (12,), ap, lamr,
     fps, curves, and per-image predictions. ``int8``: selective PTQ inference
     calibrated on the first ``calibration_batches`` eval batches;
@@ -67,7 +67,12 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
     device-count multiple and the padding sliced off after the fetch. This
     is the deployment-scale path: per-chip throughput is bandwidth/MXU
     bound (docs/ROADMAP.md roofline), so aggregate fps scales linearly over
-    the mesh (SURVEY §2.3 — DP first-class, replacing dormant DDP)."""
+    the mesh (SURVEY §2.3 — DP first-class, replacing dormant DDP).
+
+    ``device_cache``: eval-split residency tier (data/pipeline.eval_batches)
+    — None auto-pools the split (HBM under the shared DYK_DEVICE_CACHE_GB
+    budget, else pinned host memory) so repeated/in-train evals skip the
+    per-epoch upload; False streams."""
     ir_key = (ir.cfg_path, ir.num_layers, ir.second_index)
     mesh_key = None
     if mesh is not None:
@@ -111,7 +116,8 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
                        lambda: jax.jit(lambda v: graph.fold_batchnorm(ir, v)))
         fvars = fold(variables)
         cal = []
-        for v, l, idx, _ in eval_batches(dataset, batch_size):
+        for v, l, idx, _ in eval_batches(dataset, batch_size,
+                                         device_cache=device_cache):
             cal.append((v, l))
             if len(cal) >= calibration_batches:
                 break
@@ -173,7 +179,9 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
     n_images = 0
     fwd_time = 0.0
     from ..data.pipeline import prefetch
-    it = prefetch(eval_batches(dataset, batch_size))  # decode overlaps device
+    # decode overlaps device (streaming tier; pooled tiers do no host decode)
+    it = prefetch(eval_batches(dataset, batch_size,
+                               device_cache=device_cache))
     if progress:
         import tqdm
         it = tqdm.tqdm(it, desc="evaluating")

@@ -305,7 +305,8 @@ class Trainer:
         return evaluate_dataset(self.ir, variables, self.val_dataset,
                                 batch_size=batch_size or self.batch_size,
                                 compute_dtype=self.compute_dtype,
-                                mesh=self.mesh)
+                                mesh=self.mesh,
+                                device_cache=self.device_cache)
 
     def fit(self, save_best: bool = True, notest: bool = False):
         for epoch in range(self.start_epoch, self.epochs):

@@ -203,6 +203,40 @@ def test_host_pool_matches_streaming(mini_kaist, monkeypatch):
                                           np.asarray(bb[k]), err_msg=k)
 
 
+def test_eval_pool_matches_streaming(mini_kaist, monkeypatch):
+    """eval_batches residency tiers: the HBM-pooled path (gather fused into
+    the jitted preprocess program) must yield bit-identical batches to
+    streaming, and the shared-budget accounting must decline a pool that
+    would overflow DYK_DEVICE_CACHE_GB combined with already-resident ones."""
+    from double_yolo_kaist_tpu.data import pipeline as PL
+
+    ds = KaistDataset(mini_kaist, img_size=64, batch_size=4, rect=True)
+    stream = list(PL.eval_batches(ds, 3, device_cache=False))
+    pooled = list(PL.eval_batches(ds, 3, device_cache=True))
+    assert ds._device_pool is not None
+    assert len(stream) == len(pooled) == 3     # 8 imgs, bs3 -> 3,3,2
+    for (va, la, ia, rpa), (vb, lb, ib, rpb) in zip(stream, pooled):
+        np.testing.assert_array_equal(ia, ib)
+        assert rpa == rpb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    # shared budget: a second dataset whose pool would exceed the remaining
+    # budget auto-declines (falls to host tier or streaming), never OOMs
+    resident = PL._RESIDENT["bytes"]
+    assert resident > 0
+    ds2 = KaistDataset(mini_kaist, img_size=64, batch_size=4, rect=True)
+    h, w = (int(x) for x in ds2.shapes[0][::-1])
+    need = 2 * len(ds2) * h * w * 3
+    # budget admits the new pool alone but NOT combined with the resident
+    # ones (other tests in the session may have built pools already)
+    monkeypatch.setenv("DYK_DEVICE_CACHE_GB",
+                       str((resident + need / 2) / 1e9))
+    monkeypatch.setenv("DYK_HOST_CACHE_GB", "0")
+    list(PL.eval_batches(ds2, 4))              # auto mode
+    assert getattr(ds2, "_device_pool", None) is None
+
+
 def test_eval_batches_letterbox(mini_kaist):
     ds = KaistDataset(mini_kaist, img_size=64, batch_size=4, rect=True)
     out = list(eval_batches(ds, 4))
