@@ -32,7 +32,8 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
                           epoch_partners: bool = True,
                           chunk: int | None = None,
                           from_pool: bool = False,
-                          jit: bool = True):
+                          jit: bool = True,
+                          pix_dtype=None):
     """Build the jitted train-time augmentation program.
 
     src_hw: native image size (KAIST: (512, 640)); static.
@@ -69,10 +70,21 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
     ``jit``: False returns the raw traceable function (for embedding inside
     a larger program, e.g. the fused augment+train scan of
     train/step.make_fused_multi_step).
+
+    ``pix_dtype``: PIXEL compute/storage dtype through the augment program
+    (None: env DYK_AUG_DTYPE, "bf16" selects bfloat16; default float32).
+    bfloat16 halves the HBM bytes of the gather/lerp-heavy image ops —
+    label/box geometry always stays float32, and the train step consumes
+    bf16 inputs anyway. Opt-in: pixel values differ from the float32 path
+    by ~1 u8 LSB (lerp rounding), so parity-vs-reference tests run f32.
     """
     s = img_size
     r = s / max(src_hw)
     h1, w1 = int(src_hw[0] * r), int(src_hw[1] * r)
+    if pix_dtype is None:
+        pix_dtype = (jnp.bfloat16
+                     if os.environ.get("DYK_AUG_DTYPE", "") in
+                     ("bf16", "bfloat16") else jnp.float32)
     if chunk is None:
         chunk = int(os.environ.get("DYK_AUG_CHUNK", "8"))
     n_snow, n_thr, cut_step = 80, 24, 32   # quadra-path cutout settings
@@ -81,15 +93,16 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
     def heavy(v_u8, l_u8, lab, lmask, idx, centers, cut_u, Ms, hsv_r, do):
         """Resize -> mosaic paste -> CLAHE/cutout -> affine -> HSV -> flip
         for one group of canvases; all randomness comes in as arguments."""
-        v4t = A.resize_bilinear(v_u8[idx], h1, w1)    # (b, 4, h1, w1, 3)
-        l4t = A.resize_bilinear(l_u8[idx], h1, w1)
+        v4t = A.resize_bilinear(v_u8[idx], h1, w1,
+                                dtype=pix_dtype)      # (b, 4, h1, w1, 3)
+        l4t = A.resize_bilinear(l_u8[idx], h1, w1, dtype=pix_dtype)
         v4, l4, lab4, m4 = A.mosaic_place(v4t, l4t, lab[idx], lmask[idx],
                                           centers, s)
         if snowflake:
             v4 = clahe_batch(jnp.clip(jnp.round(v4), 0, 255)
-                             .astype(jnp.uint8)).astype(jnp.float32)
+                             .astype(jnp.uint8)).astype(pix_dtype)
             l4 = clahe_batch(jnp.clip(jnp.round(l4), 0, 255)
-                             .astype(jnp.uint8)).astype(jnp.float32)
+                             .astype(jnp.uint8)).astype(pix_dtype)
             v4, l4, m4 = A.snowflake_cutout(None, v4, l4, lab4, m4,
                                             n_thr=n_thr, step=cut_step,
                                             n_snow=n_snow, u=cut_u)
@@ -347,6 +360,12 @@ def host_image_pool(dataset, src_hw):
             # computation, which XLA rejects
             return p.at[idx].get(mode="promise_in_bounds")
 
+        @compute_on("device_host")
+        @jax.jit
+        def _hgather2(pv, pl, idx):
+            return (pv.at[idx].get(mode="promise_in_bounds"),
+                    pl.at[idx].get(mode="promise_in_bounds"))
+
         def upload(stream):
             # assemble in local host RAM, then ONE device_put straight into
             # pinned_host — any jnp op on pinned_host rows (e.g. a
@@ -360,7 +379,13 @@ def host_image_pool(dataset, src_hw):
             return out
 
         def gather(pool, idx_np):
+            """pool: one (N,H,W,3) pinned array, or a (pool_v, pool_l)
+            tuple — the pair form gathers both streams in ONE host program
+            with ONE index upload."""
             idx = jax.device_put(jnp.asarray(idx_np, jnp.int32), hostm)
+            if isinstance(pool, tuple):
+                rv, rl = _hgather2(pool[0], pool[1], idx)
+                return (jax.device_put(rv, devm), jax.device_put(rl, devm))
             return jax.device_put(_hgather(pool, idx), devm)
 
         pool_v, pool_l = upload(0), upload(1)
@@ -458,7 +483,8 @@ def train_batches(dataset, batch_size: int, key, *, img_size,
                                jnp.asarray(t), jnp.asarray(m))
         elif hpool is not None:
             pv, pl, gather = hpool
-            batch = augs[size](sub, gather(pv, load), gather(pl, load),
+            rows_v, rows_l = gather((pv, pl), load)
+            batch = augs[size](sub, rows_v, rows_l,
                                jnp.asarray(t), jnp.asarray(m))
         else:
             vs, ls = zip(*(dataset.load_pair(i) for i in load))
@@ -541,7 +567,8 @@ def eval_batches(dataset, batch_size: int, device_cache: bool | None = None):
             v, l = fn(pool[0], pool[1], jnp.asarray(idx, jnp.int32))
         elif tier == "host":
             pv, pl, gather = pool
-            v, l = fn(gather(pv, idx), gather(pl, idx))
+            rows_v, rows_l = gather((pv, pl), idx)
+            v, l = fn(rows_v, rows_l)
         else:
             vs, ls = zip(*(dataset.load_pair(i) for i in idx))
             v, l = fn(jnp.asarray(np.stack(vs)), jnp.asarray(np.stack(ls)))

@@ -129,7 +129,7 @@ def make_multi_step(ir, hyp: dict, tx, *, gr: float = 1.0,
 
 def make_fused_multi_step(ir, hyp: dict, tx, aug_fn, *, gr: float = 1.0,
                           compute_dtype=jnp.bfloat16, ema_decay: float = 0.9999,
-                          remat_segments: int = 0):
+                          remat_segments: int = 0, images_in: bool = False):
     """K steps per dispatch with ON-DEVICE augmentation inside the scan.
 
     The fully device-resident training loop: the host sends only batch
@@ -141,7 +141,7 @@ def make_fused_multi_step(ir, hyp: dict, tx, aug_fn, *, gr: float = 1.0,
     per 512-img epoch at bs8 through a ~100 ms-latency attachment).
 
     ``aug_fn``: raw traceable augment fn from
-    make_train_augment_fn(..., from_pool=True, jit=False).
+    make_train_augment_fn(..., from_pool=not images_in, jit=False).
 
     (state, pool_v, pool_l, xs, aug_key, rng) -> (state, stacked metrics)
     where xs = {"b0": (K,), "load": (K, 4B), "targets": (K, B, T, 5),
@@ -149,41 +149,64 @@ def make_fused_multi_step(ir, hyp: dict, tx, aug_fn, *, gr: float = 1.0,
     step k is fold_in(aug_key, b0[k]) (identical to train_batches) and the
     step rng chains fold_in(rng, 1) per iteration (identical to
     make_multi_step), so fused == unfused bit-for-bit given the same epoch
-    key and group rng."""
+    key and group rng.
+
+    ``images_in``: no pool arguments — xs carries the raw source rows
+    ("v_u8"/"l_u8", (K, 4B, H, W, 3) u8) instead of "load", and the
+    signature is (state, xs, aug_key, rng). Used when the dataset is NOT
+    HBM-resident (pinned-host pool or streaming): the rows arrive by
+    host-side gather/upload but the K augment+step programs still collapse
+    into one dispatch. Bit-identical to the pool path (same u8 rows, same
+    keys)."""
     specs = LS.head_specs(ir)
 
-    def multi(state: TrainState, pool_v, pool_l, xs: dict, aug_key, rng):
-        def one_step(carry, x):
-            state, rng = carry
-            batch = aug_fn(jax.random.fold_in(aug_key, x["b0"]),
-                           pool_v, pool_l, x["load"], x["targets"],
-                           x["tmask"])
-            xv, xl = batch["v"], batch.get("l")
+    def run_one(state: TrainState, rng, batch):
+        xv, xl = batch["v"], batch.get("l")
 
-            def loss_fn(params):
-                raws, new_bn = graph.apply(
-                    ir, {"params": params, "state": state.bn_state}, xv, xl,
-                    train=True, rng=rng, compute_dtype=compute_dtype,
-                    remat_segments=remat_segments)
-                ld = LS.compute_loss(raws, batch["targets"], batch["tmask"],
-                                     specs, hyp, gr)
-                return LS.total_loss(ld), (ld, new_bn)
+        def loss_fn(params):
+            raws, new_bn = graph.apply(
+                ir, {"params": params, "state": state.bn_state}, xv, xl,
+                train=True, rng=rng, compute_dtype=compute_dtype,
+                remat_segments=remat_segments)
+            ld = LS.compute_loss(raws, batch["targets"], batch["tmask"],
+                                 specs, hyp, gr)
+            return LS.total_loss(ld), (ld, new_bn)
 
-            (total, (ld, new_bn)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state,
-                                           state.params)
-            params = optax.apply_updates(state.params, updates)
-            ema = state.ema
-            if ema is not None:
-                ema = OPT.ema_update(ema, params, ema_decay)
-            metrics = {**ld, "loss": total}
-            new_state = TrainState(params, new_bn, opt_state, state.step + 1,
-                                   ema)
-            return (new_state, jax.random.fold_in(rng, 1)), metrics
+        (total, (ld, new_bn)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema
+        if ema is not None:
+            ema = OPT.ema_update(ema, params, ema_decay)
+        metrics = {**ld, "loss": total}
+        return TrainState(params, new_bn, opt_state, state.step + 1,
+                          ema), metrics
 
-        (state, _), metrics = jax.lax.scan(one_step, (state, rng), xs)
-        return state, metrics
+    if images_in:
+        def multi(state: TrainState, xs: dict, aug_key, rng):
+            def one_step(carry, x):
+                state, rng = carry
+                batch = aug_fn(jax.random.fold_in(aug_key, x["b0"]),
+                               x["v_u8"], x["l_u8"], x["targets"],
+                               x["tmask"])
+                new_state, metrics = run_one(state, rng, batch)
+                return (new_state, jax.random.fold_in(rng, 1)), metrics
+
+            (state, _), metrics = jax.lax.scan(one_step, (state, rng), xs)
+            return state, metrics
+    else:
+        def multi(state: TrainState, pool_v, pool_l, xs: dict, aug_key, rng):
+            def one_step(carry, x):
+                state, rng = carry
+                batch = aug_fn(jax.random.fold_in(aug_key, x["b0"]),
+                               pool_v, pool_l, x["load"], x["targets"],
+                               x["tmask"])
+                new_state, metrics = run_one(state, rng, batch)
+                return (new_state, jax.random.fold_in(rng, 1)), metrics
+
+            (state, _), metrics = jax.lax.scan(one_step, (state, rng), xs)
+            return state, metrics
 
     return jax.jit(multi, donate_argnums=(0,))
 

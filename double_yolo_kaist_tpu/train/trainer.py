@@ -119,7 +119,8 @@ class Trainer:
                              "size (stacked batches share one shape)")
         self.steps_per_dispatch = steps_per_dispatch
         self.remat_segments = remat_segments
-        self._fused_step = None   # built lazily when the device pool engages
+        self._fused_step = None   # built lazily when a resident pool engages
+        self._fused_tier = None
         if steps_per_dispatch > 1:
             from .step import make_multi_step
             self.step_fn = make_multi_step(ir, self.hyp, self.tx,
@@ -187,16 +188,17 @@ class Trainer:
 
         self._place_state()
         key = jax.random.fold_in(jax.random.PRNGKey(123), epoch)
-        # fused path: multi-step dispatch + device-resident pool -> one XLA
-        # program per K steps does gather+augment+train entirely on device
+        # fused path: multi-step dispatch + resident pool -> one XLA program
+        # per K steps does gather+augment+train entirely on device (HBM
+        # pool), or augment+train with host-gathered rows (pinned-host pool)
         if self.steps_per_dispatch > 1 and not self.multi_scale:
-            from ..data.pipeline import device_image_pool
+            from ..data.pipeline import select_image_pool
             src_hw = tuple(int(x)
                            for x in self.train_dataset.shapes[0][::-1])
-            pool = device_image_pool(self.train_dataset, src_hw,
-                                     self.device_cache)
-            if pool is not None:
-                return self._train_one_epoch_fused(epoch, key, pool,
+            tier, pool = select_image_pool(self.train_dataset, src_hw,
+                                           self.device_cache)
+            if tier is not None:
+                return self._train_one_epoch_fused(epoch, key, tier, pool,
                                                    print_freq)
         logger = MetricLogger(print_freq=print_freq)
         timer = StepTimer()
@@ -226,11 +228,19 @@ class Trainer:
         print(f"epoch {epoch} timing: {timer.summary()}", flush=True)
         return last, lr
 
-    def _train_one_epoch_fused(self, epoch: int, key, pool,
+    def _train_one_epoch_fused(self, epoch: int, key, tier, pool,
                                print_freq: int = 50):
         """Epoch loop over the fused augment+train dispatch (see
-        step.make_fused_multi_step): host work per dispatch is index
-        sampling + label padding only."""
+        step.make_fused_multi_step). tier "hbm": host work per dispatch is
+        index sampling + label padding only (pool rows gathered inside the
+        program). tier "host": rows are gathered from the pinned-host pool
+        (ONE two-stream gather right before each dispatch — gathered rows
+        are never queued ahead: prefetching them would hold several
+        dispatches of row buffers in HBM on exactly the configs whose
+        dataset already exceeded the HBM budget, and the single TPU core
+        serializes programs anyway so there is nothing to overlap) and fed
+        to the images-in fused program — same single dispatch per K steps,
+        zero HBM pool cost."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..data.pipeline import make_train_augment_fn, train_batch_plan
@@ -238,21 +248,26 @@ class Trainer:
 
         ds = self.train_dataset
         K = self.steps_per_dispatch
-        if self._fused_step is None:
+        if self._fused_step is None or self._fused_tier != tier:
             src_hw = tuple(int(x) for x in ds.shapes[0][::-1])
             aug = make_train_augment_fn(
                 src_hw, self.img_size, self.hyp, snowflake=self.snowflake,
-                from_pool=True, jit=False)
+                from_pool=tier == "hbm", jit=False)
             from .step import make_fused_multi_step
             self._fused_step = make_fused_multi_step(
                 self.ir, self.hyp, self.tx, aug,
                 compute_dtype=self.compute_dtype,
-                remat_segments=self.remat_segments)
-        pool_v, pool_l = pool
-        if self.mesh is not None:
-            rep = NamedSharding(self.mesh, P())
-            pool_v = jax.device_put(pool_v, rep)
-            pool_l = jax.device_put(pool_l, rep)
+                remat_segments=self.remat_segments,
+                images_in=tier != "hbm")
+            self._fused_tier = tier
+        if tier == "hbm":
+            pool_v, pool_l = pool
+            if self.mesh is not None:
+                rep = NamedSharding(self.mesh, P())
+                pool_v = jax.device_put(pool_v, rep)
+                pool_l = jax.device_put(pool_l, rep)
+        else:
+            hp_v, hp_l, hgather = pool
 
         def groups():
             buf = []
@@ -261,9 +276,13 @@ class Trainer:
                 buf.append((b0, idx, load, t, m))
                 if len(buf) == K:
                     xs = {"b0": np.asarray([b[0] for b in buf], np.int32),
-                          "load": np.stack([b[2] for b in buf]),
                           "targets": np.stack([b[3] for b in buf]),
                           "tmask": np.stack([b[4] for b in buf])}
+                    if tier == "hbm":
+                        xs["load"] = np.stack([b[2] for b in buf])
+                    else:
+                        xs["load_all"] = np.concatenate(
+                            [b[2] for b in buf])
                     yield xs, np.concatenate([b[1] for b in buf])
                     buf = []
 
@@ -271,6 +290,14 @@ class Trainer:
         timer = StepTimer()
         last = {}
         for i, (xs, idx) in logger.log_every(groups(), f"epoch {epoch}"):
+            if tier != "hbm":
+                # one two-stream pinned-host gather for the whole dispatch,
+                # issued right before it; (K*4B, H, W, 3) -> (K, 4B, ...)
+                load_all = xs.pop("load_all")
+                per = load_all.shape[0] // K
+                rows_v, rows_l = hgather((hp_v, hp_l), load_all)
+                xs["v_u8"] = rows_v.reshape((K, per) + hp_v.shape[1:])
+                xs["l_u8"] = rows_l.reshape((K, per) + hp_l.shape[1:])
             if self.mesh is not None:
                 sharded = M.shard_batch(
                     {k: v for k, v in xs.items() if k != "b0"},
@@ -278,9 +305,13 @@ class Trainer:
                 xs = {"b0": M.replicate(jnp.asarray(xs["b0"]), self.mesh),
                       **sharded}
             timer.data_ready()
-            self.state, metrics = self._fused_step(
-                self.state, pool_v, pool_l, xs, key,
-                jax.random.fold_in(key, i))
+            if tier == "hbm":
+                self.state, metrics = self._fused_step(
+                    self.state, pool_v, pool_l, xs, key,
+                    jax.random.fold_in(key, i))
+            else:
+                self.state, metrics = self._fused_step(
+                    self.state, xs, key, jax.random.fold_in(key, i))
             last = {k: float(np.asarray(v).ravel()[-1])
                     for k, v in metrics.items()}
             timer.step_done()

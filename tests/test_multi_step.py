@@ -76,6 +76,54 @@ FULL_HYP = {"lr0": 1e-3, "lrf": 0.1, "box": 1.0, "obj": 1.0, "cls": 1.0,
             "degrees": 0.0, "translate": 0.0, "scale": 0.0, "shear": 0.0}
 
 
+def test_fused_images_in_matches_pool_variant():
+    """make_fused_multi_step(images_in=True) — the pinned-host/streaming
+    flavor where source rows arrive pre-gathered — must produce exactly the
+    state of the pool-gather flavor given the same rows/keys."""
+    from double_yolo_kaist_tpu.data.pipeline import make_train_augment_fn
+    from double_yolo_kaist_tpu.train.step import make_fused_multi_step
+
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+    tx = OPT.make_optimizer(FULL_HYP, lambda s: 1e-3, sgd=True)
+    src_hw, K, B, N = (128, 160), 2, 2, 8
+    rng = np.random.default_rng(9)
+    pool_v = jnp.asarray(rng.integers(0, 256, (N, *src_hw, 3), np.uint8))
+    pool_l = jnp.asarray(rng.integers(0, 256, (N, *src_hw, 3), np.uint8))
+    load = rng.integers(0, N, (K, 4 * B)).astype(np.int32)
+    t, m = LS.pad_labels(
+        [np.asarray([[0, 0.5, 0.5, 0.2, 0.4]], np.float32)] * B, 4)
+    xs_common = {"b0": np.arange(K, dtype=np.int32) * B,
+                 "targets": np.broadcast_to(t, (K,) + t.shape).copy(),
+                 "tmask": np.broadcast_to(m, (K,) + m.shape).copy()}
+    aug_key, step_rng = jax.random.PRNGKey(3), jax.random.PRNGKey(4)
+
+    aug_pool = make_train_augment_fn(src_hw, 64, FULL_HYP, from_pool=True,
+                                     max_targets_per_img=4, jit=False)
+    fused_p = make_fused_multi_step(ir, FULL_HYP, tx, aug_pool,
+                                    compute_dtype=jnp.float32)
+    s1 = create_train_state(ir, jax.random.PRNGKey(0), tx)
+    s1, m1 = fused_p(s1, pool_v, pool_l, {**xs_common, "load": load},
+                     aug_key, step_rng)
+
+    aug_img = make_train_augment_fn(src_hw, 64, FULL_HYP, from_pool=False,
+                                    max_targets_per_img=4, jit=False)
+    fused_i = make_fused_multi_step(ir, FULL_HYP, tx, aug_img,
+                                    compute_dtype=jnp.float32,
+                                    images_in=True)
+    s2 = create_train_state(ir, jax.random.PRNGKey(0), tx)
+    rows = {"v_u8": jnp.take(pool_v, jnp.asarray(load), axis=0),
+            "l_u8": jnp.take(pool_l, jnp.asarray(load), axis=0)}
+    s2, m2 = fused_i(s2, {**xs_common, **rows}, aug_key, step_rng)
+
+    np.testing.assert_allclose(np.asarray(m2["loss"]), np.asarray(m1["loss"]),
+                               rtol=1e-6, atol=1e-7)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        s2.params, s1.params)
+    assert int(jax.device_get(s2.step)) == K
+
+
 def test_fused_trainer_epoch_matches_unfused(tmp_path):
     """The fused augment+train dispatch (device pool + scan, Trainer's
     steps_per_dispatch>1 fast path) produces the same parameters as the
