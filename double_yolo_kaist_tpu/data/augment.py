@@ -37,18 +37,23 @@ import jax.numpy as jnp
 
 # -------------------------------------------------------------- resize / pad
 
-def resize_bilinear(img, out_h: int, out_w: int):
+def resize_bilinear(img, out_h: int, out_w: int, dtype=jnp.float32):
     """cv2.INTER_LINEAR-compatible bilinear resize (half-pixel centers).
-    img: (..., H, W, C) float or uint8 -> float32."""
-    x = img.astype(jnp.float32)
+    img: (..., H, W, C) float or uint8 -> ``dtype``.
+
+    ``dtype``: pixel compute/storage dtype. bfloat16 halves the HBM bytes
+    of the gather+lerp (the train-augment pixel path is bandwidth-bound);
+    sample COORDINATES always stay float32 — only the pixel values and
+    lerp weights are reduced."""
+    x = img.astype(dtype)
     h, w = x.shape[-3], x.shape[-2]
     sy, sx = h / out_h, w / out_w
     yc = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * sy - 0.5
     xc = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * sx - 0.5
     y0 = jnp.clip(jnp.floor(yc), 0, h - 1)
     x0 = jnp.clip(jnp.floor(xc), 0, w - 1)
-    wy = jnp.clip(yc - y0, 0.0, 1.0)
-    wx = jnp.clip(xc - x0, 0.0, 1.0)
+    wy = jnp.clip(yc - y0, 0.0, 1.0).astype(dtype)
+    wx = jnp.clip(xc - x0, 0.0, 1.0).astype(dtype)
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
     y1i = jnp.minimum(y0i + 1, h - 1)
@@ -152,8 +157,13 @@ def _warp_bilinear(img, minv, out_h: int, out_w: int,
     column gather with 1-D indices — ~5x faster on TPU than the per-pixel
     2-D gather (which lowers to scalar-granularity HBM traffic) and
     bit-identical: same clipped indices, same lerp order, same zero-border
-    mask."""
-    x = img.astype(jnp.float32)
+    mask.
+
+    Pixel dtype follows the input when it is floating (the reduced-precision
+    pixel path feeds bf16); u8 input is promoted to float32. Coordinates are
+    always float32."""
+    x = img if jnp.issubdtype(img.dtype, jnp.floating) \
+        else img.astype(jnp.float32)
     h, w = x.shape[0], x.shape[1]
     ys = jnp.arange(out_h, dtype=jnp.float32)
     xs = jnp.arange(out_w, dtype=jnp.float32)
@@ -163,8 +173,8 @@ def _warp_bilinear(img, minv, out_h: int, out_w: int,
         src_y = minv[1, 1] * ys + minv[1, 2]          # (out_h,)
         x0 = jnp.floor(src_x)
         y0 = jnp.floor(src_y)
-        wx = (src_x - x0)[None, :, None]
-        wy = (src_y - y0)[:, None, None]
+        wx = (src_x - x0)[None, :, None].astype(x.dtype)
+        wy = (src_y - y0)[:, None, None].astype(x.dtype)
 
         def take_rows(yi):
             inb = (yi >= 0) & (yi < h)
@@ -197,8 +207,8 @@ def _warp_bilinear(img, minv, out_h: int, out_w: int,
 
     x0 = jnp.floor(src_x)
     y0 = jnp.floor(src_y)
-    wx = src_x - x0
-    wy = src_y - y0
+    wx = (src_x - x0).astype(x.dtype)
+    wy = (src_y - y0).astype(x.dtype)
 
     def gather(yi, xi):
         inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
@@ -389,11 +399,17 @@ def hsv_jitter(key, v_imgs, l_imgs, h_gain, s_gain, v_gain, gains=None):
              * jnp.asarray([h_gain, s_gain, v_gain]) + 1.0)
 
     def adjust(img, g):
-        hsv = _rgb_to_hsv(img / 255.0)
+        # hue sector arithmetic is precision-sensitive (bf16 hue flips
+        # sectors); compute in float32 IN-REGISTER — the op is elementwise
+        # so XLA fuses the whole chain and the f32 intermediates never
+        # touch HBM — and emit at the input's (possibly reduced) dtype
+        x = (img / 255.0).astype(jnp.float32)
+        hsv = _rgb_to_hsv(x)
         h = (hsv[..., 0] * g[0]) % 1.0
         s = jnp.clip(hsv[..., 1] * g[1], 0.0, 1.0)
         v = jnp.clip(hsv[..., 2] * g[2], 0.0, 1.0)
-        return _hsv_to_rgb(jnp.stack([h, s, v], -1)) * 255.0
+        return (_hsv_to_rgb(jnp.stack([h, s, v], -1))
+                * 255.0).astype(img.dtype)
 
     return (jax.vmap(adjust)(v_imgs, r), jax.vmap(adjust)(l_imgs, r))
 

@@ -203,6 +203,41 @@ def test_host_pool_matches_streaming(mini_kaist, monkeypatch):
                                           np.asarray(bb[k]), err_msg=k)
 
 
+def test_augment_bf16_pixel_path():
+    """Opt-in reduced-precision pixel path (pix_dtype=bfloat16 /
+    DYK_AUG_DTYPE=bf16): label geometry must be EXACTLY the float32 path
+    (it always stays f32) and pixels must agree within bf16 lerp rounding
+    (~1 u8 LSB on the [0,1] output)."""
+    from double_yolo_kaist_tpu.data.pipeline import make_train_augment_fn
+    from double_yolo_kaist_tpu.train.loss import pad_labels
+
+    src_hw, B = (H0, W0), 2
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 256, (4 * B, H0, W0, 3), dtype=np.uint8)
+    l = rng.integers(0, 256, (4 * B, H0, W0, 3), dtype=np.uint8)
+    t, m = pad_labels(
+        [np.asarray([[0, 0.5, 0.5, 0.3, 0.4]], np.float32)] * (4 * B), 8)
+    key = jax.random.PRNGKey(2)
+    args = (key, jnp.asarray(v), jnp.asarray(l), jnp.asarray(t),
+            jnp.asarray(m))
+    out32 = make_train_augment_fn(src_hw, 64, HYP,
+                                  pix_dtype=jnp.float32)(*args)
+    out16 = make_train_augment_fn(src_hw, 64, HYP,
+                                  pix_dtype=jnp.bfloat16)(*args)
+    assert out16["v"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(out16["targets"]),
+                                  np.asarray(out32["targets"]))
+    np.testing.assert_array_equal(np.asarray(out16["tmask"]),
+                                  np.asarray(out32["tmask"]))
+    for k in ("v", "l"):
+        a = np.asarray(out16[k], np.float32)
+        b = np.asarray(out32[k])
+        # two chained bf16 lerps (resize -> warp) compound to a few u8 LSB
+        # on isolated pixels; the bulk must stay within ~1 LSB
+        np.testing.assert_allclose(a, b, atol=8.0 / 255)
+        assert np.abs(a - b).mean() < 0.5 / 255
+
+
 def test_eval_pool_matches_streaming(mini_kaist, monkeypatch):
     """eval_batches residency tiers: the HBM-pooled path (gather fused into
     the jitted preprocess program) must yield bit-identical batches to
