@@ -157,8 +157,11 @@ def main():
         return
 
     ir = compile_cfg(cfg_path(args.model))
-    run_bf16 = not args.int8
-    run_int8 = not args.bf16
+    # --int8 / --bf16 each select a single leg; both together (or neither)
+    # run both legs, matching the no-flag default
+    both = args.int8 == args.bf16
+    run_bf16 = both or args.bf16
+    run_int8 = both or args.int8
     fps_bf16 = measure_fps(ir, args, int8=False) if run_bf16 else None
     fps_int8 = measure_fps(ir, args, int8=True) if run_int8 else None
     if fps_bf16 is not None:

@@ -241,11 +241,19 @@ def random_affine_batch(key, v_imgs, l_imgs, labels, lmask, *,
 
     ``separable`` (static): use the fast axis-aligned warp — valid iff
     degrees == shear == 0. Defaults from the degrees/shear args; callers
-    that pre-sample ``Ms`` must pass it explicitly (the matrices alone
-    don't carry the static structure)."""
+    that pre-sample ``Ms`` MUST pass it explicitly (enforced — the
+    degrees/shear defaults say nothing about matrices sampled elsewhere,
+    and silently taking the separable path would warp pixels axis-aligned
+    while the label transform below uses the full rotated M)."""
     B, H, W = v_imgs.shape[0], v_imgs.shape[1], v_imgs.shape[2]
     out_h, out_w = H + border * 2, W + border * 2
     if separable is None:
+        if Ms is not None:
+            raise ValueError(
+                "random_affine_batch: pass separable= explicitly when "
+                "supplying pre-sampled Ms (whether the matrices are "
+                "axis-aligned is not inferable from the degrees/shear "
+                "defaults)")
         separable = (degrees == 0.0 and shear == 0.0)
     if Ms is None:
         Ms = _affine_matrices(key, B, (H, W), degrees, translate, scale,

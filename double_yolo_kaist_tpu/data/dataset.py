@@ -110,6 +110,20 @@ class KaistDataset:
         if self.cache_mode == "disk":
             self._disk_dir = Path(data_txt_path).with_suffix(".imgcache")
             self._disk_dir.mkdir(exist_ok=True)
+            # purge entries from the pre-path-key scheme ({index}.npy):
+            # they are never read again and would sit next to the new
+            # sha-keyed files, doubling the cache's disk footprint
+            stale = [p for p in self._disk_dir.glob("*.npy")
+                     if p.stem.isdigit()]
+            for p in stale:
+                try:
+                    p.unlink()
+                except OSError:
+                    pass
+            if stale:
+                print(f"image cache: purged {len(stale)} stale "
+                      f"position-keyed entries from {self._disk_dir}",
+                      flush=True)
 
     def _disk_key(self, index: int) -> "Path":
         """Cache filename keyed by the SOURCE IMAGE PATH (hash), not the

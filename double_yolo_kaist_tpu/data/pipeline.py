@@ -294,12 +294,29 @@ def device_image_pool(dataset, src_hw, force: bool | None = None):
     print(f"device image pool: {n} pairs resident "
           f"({need / 1e9:.2f} GB HBM); batches gather on device", flush=True)
     dataset._device_pool = pool
-    _RESIDENT["bytes"] += need
+    _claim_resident(_RESIDENT, dataset, need)
     return pool
 
 
-# combined HBM bytes of every device_image_pool built by this process
+# combined HBM bytes of every device_image_pool built by this process, and
+# combined pinned-host bytes of every host_image_pool — each entry released
+# when its owning dataset is garbage-collected (the pool arrays live on the
+# dataset object), so long-lived processes that build pools for many dataset
+# objects (sweeps, repeated Trainer constructions) don't permanently exhaust
+# the budget
 _RESIDENT = {"bytes": 0}
+_HOST_RESIDENT = {"bytes": 0}
+
+
+def _claim_resident(account: dict, owner, nbytes: int) -> None:
+    import weakref
+
+    account["bytes"] += nbytes
+
+    def release():
+        account["bytes"] -= nbytes
+
+    weakref.finalize(owner, release)
 
 
 def select_image_pool(dataset, src_hw, device_cache):
@@ -316,7 +333,10 @@ def select_image_pool(dataset, src_hw, device_cache):
         n = len(dataset)
         need = 2 * n * src_hw[0] * src_hw[1] * 3
         hbudget = float(os.environ.get("DYK_HOST_CACHE_GB", "16")) * 1e9
-        if need <= hbudget:
+        # like the HBM budget, the pinned-host budget is shared across every
+        # pool this process builds (train split + in-train eval split + ...)
+        # so a second pool can never blow the pinned allocation mid-training
+        if need + _HOST_RESIDENT["bytes"] <= hbudget:
             hpool = host_image_pool(dataset, src_hw)
             if hpool is not None:
                 return "host", hpool
@@ -411,6 +431,7 @@ def host_image_pool(dataset, src_hw):
           f"({2 * n * h * w * 3 / 1e9:.2f} GB, zero HBM); batches gather "
           f"host-side", flush=True)
     dataset._host_pool = (pool_v, pool_l, gather)
+    _claim_resident(_HOST_RESIDENT, dataset, 2 * n * h * w * 3)
     return dataset._host_pool
 
 
@@ -466,6 +487,19 @@ def train_batches(dataset, batch_size: int, key, *, img_size,
     tier, tpool = select_image_pool(dataset, src_hw, device_cache)
     pool = tpool if tier == "hbm" else None
     hpool = tpool if tier == "host" else None
+    if tier is None and epoch_partners and not getattr(
+            dataset, "_warned_stream_partners", False):
+        # reference-exact mosaic partner sampling costs 4B pairs per batch;
+        # with no resident pool that is 4x the host decode + upload of the
+        # narrow-distribution fallback. Surface the cost once rather than
+        # silently eating it on the slowest tier.
+        dataset._warned_stream_partners = True
+        print("train_batches: streaming tier with epoch-wide mosaic "
+              "partners loads 4x batch_size pairs per batch (reference-"
+              "matching sampling); enable cache_images / raise "
+              "DYK_DEVICE_CACHE_GB / DYK_HOST_CACHE_GB, or pass "
+              "epoch_partners=False for 1x IO with batch-local partners",
+              flush=True)
     sizes = [img_size] if isinstance(img_size, int) else list(img_size)
     augs = {s: make_train_augment_fn(src_hw, s, hyp, snowflake=snowflake,
                                      max_targets_per_img=max_targets_per_img,

@@ -166,8 +166,13 @@ class Predictor:
         while contributing nothing to the max-abs statistics — activation
         scales would then be calibrated from less real traffic. This path
         compiles the bf16 full program (letterbox + forward + NMS) on a
-        zeros batch and leaves calibration entirely to real requests."""
-        b = batch or self.batch_buckets[0]
+        zeros batch and leaves calibration entirely to real requests.
+
+        ``batch`` is snapped to the bucket __call__ would actually pick —
+        warming an off-bucket shape would waste the compile AND, on a mesh,
+        a batch not divisible by the device count fails the 'data' sharding
+        outright."""
+        b = self._bucket(batch) if batch else self.batch_buckets[0]
         z = np.zeros((b,) + tuple(src_hw) + (3,), np.uint8)
         np.asarray(self._full_program(tuple(src_hw), False)(
             self.folded, jnp.asarray(z), jnp.asarray(z)))

@@ -264,8 +264,17 @@ class Trainer:
             pool_v, pool_l = pool
             if self.mesh is not None:
                 rep = NamedSharding(self.mesh, P())
-                pool_v = jax.device_put(pool_v, rep)
-                pool_l = jax.device_put(pool_l, rep)
+                if getattr(pool_v, "sharding", None) != rep:
+                    # replicate ONCE and hand the replicated arrays back to
+                    # the dataset cache (next epoch's pool IS this one):
+                    # re-putting every epoch would broadcast the whole pool
+                    # each time AND leave device 0 holding both the original
+                    # single-device copy and the replica — double the HBM
+                    # the DYK_DEVICE_CACHE_GB gate admitted
+                    pool_v = jax.device_put(pool_v, rep)
+                    pool_l = jax.device_put(pool_l, rep)
+                    jax.block_until_ready((pool_v, pool_l))
+                    ds._device_pool = (pool_v, pool_l)
         else:
             hp_v, hp_l, hgather = pool
 

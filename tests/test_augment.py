@@ -116,6 +116,23 @@ def test_random_affine_labels_and_mask():
     assert (lab[..., [1, 3]] <= 64 + 1e-3).all()
 
 
+def test_affine_presampled_ms_requires_explicit_separable():
+    """Pre-sampled Ms + defaulted separable must raise: the degrees/shear
+    defaults (0.0) say nothing about externally sampled matrices, and
+    silently taking the separable warp would rotate labels but not pixels."""
+    import pytest
+
+    key = jax.random.PRNGKey(0)
+    v = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    labels = jnp.zeros((2, 1, 5), jnp.float32)
+    lmask = jnp.ones((2, 1), bool)
+    Ms = A._affine_matrices(key, 2, (32, 32), 5.0, 0.05, 0.1, 2.0, 0)
+    with pytest.raises(ValueError, match="separable"):
+        A.random_affine_batch(None, v, v, labels, lmask, Ms=Ms)
+    # explicit separable=False works
+    A.random_affine_batch(None, v, v, labels, lmask, Ms=Ms, separable=False)
+
+
 def test_clahe_matches_cv2():
     img = _img(64, 64, seed=2)
     ref_op = cv2.createCLAHE(clipLimit=1.0, tileGridSize=(4, 4))

@@ -272,6 +272,25 @@ def test_eval_pool_matches_streaming(mini_kaist, monkeypatch):
     assert getattr(ds2, "_device_pool", None) is None
 
 
+def test_resident_budget_released_on_gc(mini_kaist):
+    """Pool bytes return to the shared budget when the owning dataset is
+    garbage-collected — a long-lived process building pools for many dataset
+    objects must not permanently exhaust DYK_DEVICE_CACHE_GB."""
+    import gc
+
+    from double_yolo_kaist_tpu.data import pipeline as PL
+
+    before = PL._RESIDENT["bytes"]
+    ds = KaistDataset(mini_kaist, img_size=64, batch_size=4, rect=True)
+    h, w = (int(x) for x in ds.shapes[0][::-1])
+    pool = PL.device_image_pool(ds, (h, w), True)
+    assert pool is not None
+    assert PL._RESIDENT["bytes"] == before + 2 * len(ds) * h * w * 3
+    del ds, pool
+    gc.collect()
+    assert PL._RESIDENT["bytes"] == before
+
+
 def test_eval_batches_letterbox(mini_kaist):
     ds = KaistDataset(mini_kaist, img_size=64, batch_size=4, rect=True)
     out = list(eval_batches(ds, 4))

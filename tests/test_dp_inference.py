@@ -87,6 +87,9 @@ def test_predictor_sharded_matches_single():
     p8 = Predictor(ir, variables, batch_buckets=(4,), mesh=mesh, **kw)
     # bucket rounding: 4 -> 8 on an 8-device mesh
     assert p8.batch_buckets == [8]
+    # warmup with an off-bucket batch must snap to the bucket: batch=3 is
+    # not divisible by 8 devices and would fail the 'data' sharding raw
+    p8.warmup((96, 128), batch=3)
     rng = np.random.default_rng(0)
     imgs_v = rng.integers(0, 256, (6, 96, 128, 3), dtype=np.uint8)
     imgs_l = rng.integers(0, 256, (6, 96, 128, 3), dtype=np.uint8)

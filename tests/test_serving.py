@@ -106,3 +106,16 @@ def test_warmup_bypasses_calibration():
     imgs = rng.integers(0, 256, (2, 96, 128, 3), dtype=np.uint8)
     q(imgs, imgs)                 # first REAL batch calibrates
     assert q._qvars is not None
+
+
+def test_warmup_batch_snaps_to_bucket():
+    """An explicit warmup batch override is snapped to the bucket __call__
+    would pick: warming an off-bucket shape wastes the compile, and on a
+    mesh a non-device-multiple batch fails the 'data' sharding outright
+    (the mesh case is exercised in test_dp_inference.py)."""
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    pred = Predictor(ir, variables, img_size=64, conf_thres=0.005,
+                     batch_buckets=(2, 4), compute_dtype=jnp.float32)
+    assert pred._bucket(3) == 4
+    pred.warmup((96, 128), batch=3)          # snaps to bucket 4
