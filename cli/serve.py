@@ -86,6 +86,15 @@ def main(argv=None):
                    help="serve the int8 PTQ path (calibrates on first request)")
     p.add_argument("--int8-mode", default="chain",
                    choices=("seed", "chain", "all", "edge"))
+    p.add_argument("--int8-calib", default="",
+                   help="calibration artifact (.npz from tools/calibrate.py): "
+                        "if it exists the server starts fully quantized; "
+                        "otherwise the first requests' stats are saved there")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel serving over N devices (-1 = all): "
+                        "requests shard over the batch, params replicate — "
+                        "aggregate fps scales with the mesh (per-chip fps is "
+                        "roofline-bound, docs/ROADMAP.md)")
     p.add_argument("--port", type=int, default=8321)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--no-warmup", action="store_true",
@@ -100,9 +109,21 @@ def main(argv=None):
     from double_yolo_kaist_tpu.serving import Predictor
 
     ir, variables = build_model(opt.cfg, opt.weights)
+    mesh = None
+    if opt.dp:
+        import jax
+
+        from double_yolo_kaist_tpu.parallel import mesh as M
+        devs = jax.devices()
+        n = len(devs) if opt.dp < 0 else opt.dp
+        if n > len(devs):
+            raise SystemExit(f"--dp {n}: only {len(devs)} device(s) visible")
+        mesh = M.make_mesh(devices=devs[:n])
+        print(f"# data-parallel serving over {n} device(s)", flush=True)
     predictor = Predictor(ir, variables, img_size=opt.img_size,
                           conf_thres=opt.conf_thres, batch_buckets=(1,),
-                          int8=opt.int8, int8_mode=opt.int8_mode)
+                          int8=opt.int8, int8_mode=opt.int8_mode,
+                          calibration=opt.int8_calib or None, mesh=mesh)
     if not opt.no_warmup:
         h, w = opt.warmup_hw or (max(64, opt.img_size),
                                  max(64, int(opt.img_size * 1.25)))

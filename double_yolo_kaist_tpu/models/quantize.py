@@ -395,6 +395,33 @@ def calibrate(ir: GraphIR, folded: dict, batches, compute_dtype=jnp.bfloat16,
     return acc
 
 
+def save_calibration(path: str, stats: dict, *, pct: float = 100.0) -> None:
+    """Persist :func:`calibrate` stats as a deployment artifact (.npz).
+
+    Stats are mode-independent (make_calibration_fn records a superset
+    covering every plan_quantization mode), so one artifact serves
+    seed/chain/all/edge alike. Production pattern: calibrate ONCE offline
+    on representative frames (tools/calibrate.py), ship the file with the
+    weights, and servers quantize at startup instead of depending on the
+    first live requests (serving.Predictor(calibration=path))."""
+    arrs = {k: np.asarray(v) for k, v in stats.items()}
+    arrs["__pct__"] = np.asarray(float(pct), np.float64)
+    np.savez(path, **arrs)
+
+
+def load_calibration(path: str) -> tuple[dict, float]:
+    """Load a :func:`save_calibration` artifact -> (stats, pct)."""
+    with np.load(path) as z:
+        pct = float(z["__pct__"]) if "__pct__" in z.files else 100.0
+        stats = {}
+        for k in z.files:
+            if k == "__pct__":
+                continue
+            v = z[k]
+            stats[k] = float(v) if v.ndim == 0 else v
+    return stats, pct
+
+
 # ------------------------------------------------------------------- quantize
 
 def _quant_weight(w):

@@ -28,7 +28,8 @@ class Predictor:
                  batch_buckets: Sequence[int] = (1, 8, 32),
                  compute_dtype=jnp.bfloat16, int8: bool = False,
                  int8_mode: str = "chain", calibration_batches: int = 2,
-                 calibration_pct: float = 100.0, mesh=None):
+                 calibration_pct: float = 100.0, calibration=None,
+                 mesh=None):
         """``int8``: serve the post-training-quantized path
         (models/quantize.py). Activation scales are calibrated on the first
         ``calibration_batches`` batches served (production pattern: warm the
@@ -41,6 +42,14 @@ class Predictor:
         (overfit AP sweep: mode='all' 78.4% at pct=100 vs 56.2% at 99.9;
         no mode improved), while exact max-abs never lost AP. Pass 99.x
         only when calibrating on long outlier-prone traffic.
+
+        ``calibration``: path to a calibration artifact
+        (models/quantize.save_calibration, produced offline by
+        tools/calibrate.py). If the file exists, activation scales load
+        from it and the int8 path is live from the FIRST request — no
+        traffic-dependent warmup window. If it doesn't exist yet, stats
+        measured from the first ``calibration_batches`` requests are
+        written there, freezing this server's calibration for the fleet.
 
         ``mesh``: optional jax.sharding.Mesh — every serve program runs
         data-parallel over the mesh's first axis (requests sharded over the
@@ -114,6 +123,14 @@ class Predictor:
             self._infer_q = _jit(infer_q)
             self._infer_q_raw = infer_q
 
+        self._cal_path = str(calibration) if calibration else None
+        if int8 and self._cal_path:
+            import os as _os
+            if _os.path.exists(self._cal_path):
+                from .models import quantize as Q
+                stats, _pct = Q.load_calibration(self._cal_path)
+                self._quantize_from_stats(stats)
+
     def _full_program(self, src_hw, quant: bool):
         """One jitted program for the whole request: uint8 letterbox +
         forward + NMS, with the valid mask packed into the detections
@@ -136,6 +153,15 @@ class Predictor:
             prog = self._run_cache[key] = self._jit(run)
         return prog
 
+    def _quantize_from_stats(self, stats: dict) -> None:
+        from .models import quantize as Q
+        hw = (self.img_size, self.img_size)
+        self._qvars = jax.jit(
+            lambda f: Q.quantize(self.ir, f, stats,
+                                 mode=self._int8_mode, hw=hw))(self.folded)
+        if self._rep is not None:
+            self._qvars = jax.device_put(self._qvars, self._rep)
+
     def _ensure_calibrated(self, xv, xl):
         """Accumulate warm-up batches, then quantize. Returns True once the
         int8 weights exist (traffic before that runs the bf16 path)."""
@@ -147,12 +173,9 @@ class Predictor:
         from .models import quantize as Q
         stats = Q.calibrate(self.ir, self.folded, self._cal_batches,
                             compute_dtype=self._dtype, pct=self._cal_pct)
-        hw = (self.img_size, self.img_size)
-        self._qvars = jax.jit(
-            lambda f: Q.quantize(self.ir, f, stats,
-                                 mode=self._int8_mode, hw=hw))(self.folded)
-        if self._rep is not None:
-            self._qvars = jax.device_put(self._qvars, self._rep)
+        if self._cal_path:
+            Q.save_calibration(self._cal_path, stats, pct=self._cal_pct)
+        self._quantize_from_stats(stats)
         self._cal_batches = []
         return True
 

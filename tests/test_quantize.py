@@ -242,3 +242,29 @@ def test_edge_quantized_with_prepared_hw():
                                mode="edge")
     np.testing.assert_allclose(np.asarray(io1), np.asarray(io2),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_calibration_save_load_roundtrip(tmp_path):
+    """save_calibration/load_calibration preserve scalar amax stats and
+    per-channel edge vectors exactly (float64 npz roundtrip), so quantizing
+    from the loaded artifact equals quantizing from the live dict."""
+    path = str(tmp_path / "c.npz")
+    stats = {"l0": 3.75, "l1": 0.001220703125,
+             "l0.out": np.asarray([1.5, 2.25, 0.125], np.float64)}
+    Q.save_calibration(path, stats, pct=99.9)
+    loaded, pct = Q.load_calibration(path)
+    assert pct == 99.9
+    assert set(loaded) == set(stats)
+    assert loaded["l0"] == stats["l0"] and loaded["l1"] == stats["l1"]
+    np.testing.assert_array_equal(loaded["l0.out"], stats["l0.out"])
+
+    ir, folded, batches = _setup()
+    live = Q.calibrate(ir, folded, batches, compute_dtype=jnp.float32)
+    Q.save_calibration(str(tmp_path / "m.npz"), live)
+    re, _ = Q.load_calibration(str(tmp_path / "m.npz"))
+    q1 = Q.quantize(ir, folded, live, mode="chain")
+    q2 = Q.quantize(ir, folded, re, mode="chain")
+    xv, xl = batches[0]
+    io1, _ = Q.apply_quantized(ir, q1, xv, xl, compute_dtype=jnp.float32)
+    io2, _ = Q.apply_quantized(ir, q2, xv, xl, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(io1), np.asarray(io2))

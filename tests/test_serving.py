@@ -108,6 +108,32 @@ def test_warmup_bypasses_calibration():
     assert q._qvars is not None
 
 
+def test_calibration_artifact_roundtrip(tmp_path):
+    """Traffic-calibrated stats persist to the artifact, and a fresh
+    Predictor loading it is fully quantized BEFORE any request with
+    identical detections (fleet pattern: calibrate once, ship the file)."""
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    cal = str(tmp_path / "calib.npz")
+    kw = dict(img_size=64, conf_thres=0.005, batch_buckets=(4,),
+              compute_dtype=jnp.float32, int8=True, calibration_batches=1)
+    a = Predictor(ir, variables, calibration=cal, **kw)
+    assert a._qvars is None            # artifact doesn't exist yet
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (4, 96, 128, 3), dtype=np.uint8)
+    a(imgs, imgs)                      # calibrates from traffic AND saves
+    assert os.path.exists(cal)
+    out_a = a(imgs, imgs)
+
+    b = Predictor(ir, variables, calibration=cal, **kw)
+    assert b._qvars is not None        # quantized at startup, pre-traffic
+    out_b = b(imgs, imgs)
+    for (ba, sa, ca), (bb, sb, cb) in zip(out_a, out_b):
+        np.testing.assert_array_equal(ba, bb)
+        np.testing.assert_array_equal(sa, sb)
+        np.testing.assert_array_equal(ca, cb)
+
+
 def test_warmup_batch_snaps_to_bucket():
     """An explicit warmup batch override is snapped to the bucket __call__
     would pick: warming an off-bucket shape wastes the compile, and on a
