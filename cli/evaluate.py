@@ -45,6 +45,10 @@ def main(argv=None):
     p.add_argument("--int8-mode", default="chain",
                    choices=("seed", "chain", "all", "edge"),
                    help="quantization plan: 3x3-only / int8 chains / all convs")
+    p.add_argument("--int8-calib", default="",
+                   help="calibration artifact (.npz, tools/calibrate.py): "
+                        "evaluate the same frozen quantization deployment "
+                        "serves; if missing, this run's stats are saved there")
     p.add_argument("--cache-images", choices=("ram", "disk"), default=None,
                    help="cache decoded pairs (see cli/train.py)")
     p.add_argument("--device-cache", choices=("auto", "on", "off"),
@@ -68,6 +72,7 @@ def main(argv=None):
         compute_dtype=jnp.float32 if opt.fp32 else jnp.bfloat16,
         int8=opt.int8, int8_mode=opt.int8_mode, merge=opt.merge_nms,
         calibration_pct=opt.calibration_pct,
+        calibration=opt.int8_calib or None,
         device_cache={"auto": None, "on": True, "off": False}[opt.device_cache],
         progress=True)
 

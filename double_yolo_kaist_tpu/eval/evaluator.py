@@ -8,6 +8,7 @@ Host side: letterbox undo, metric accumulation (numpy).
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -52,8 +53,9 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
                      folded: bool = True, max_det: int = 100,
                      progress: bool = False, int8: bool = False,
                      int8_mode: str = "chain", calibration_batches: int = 2,
-                     calibration_pct: float = 100.0, merge: bool = False,
-                     mesh=None, device_cache: bool | None = None):
+                     calibration_pct: float = 100.0, calibration=None,
+                     merge: bool = False, mesh=None,
+                     device_cache: bool | None = None):
     """Run the full eval loop. Returns dict with coco stats (12,), ap, lamr,
     fps, curves, and per-image predictions. ``int8``: selective PTQ inference
     calibrated on the first ``calibration_batches`` eval batches;
@@ -115,14 +117,23 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
         fold = _cached((ir_key, "fold"),
                        lambda: jax.jit(lambda v: graph.fold_batchnorm(ir, v)))
         fvars = fold(variables)
-        cal = []
-        for v, l, idx, _ in eval_batches(dataset, batch_size,
-                                         device_cache=device_cache):
-            cal.append((v, l))
-            if len(cal) >= calibration_batches:
-                break
-        stats = Q.calibrate(ir, fvars, cal, compute_dtype=compute_dtype,
-                            pct=calibration_pct)
+        if calibration and os.path.exists(str(calibration)):
+            # frozen artifact (tools/calibrate.py / Predictor) — evaluate
+            # the SAME quantization deployment serves, instead of
+            # re-calibrating on this split's first batches
+            stats, _ = Q.load_calibration(str(calibration))
+        else:
+            cal = []
+            for v, l, idx, _ in eval_batches(dataset, batch_size,
+                                             device_cache=device_cache):
+                cal.append((v, l))
+                if len(cal) >= calibration_batches:
+                    break
+            stats = Q.calibrate(ir, fvars, cal, compute_dtype=compute_dtype,
+                                pct=calibration_pct)
+            if calibration:
+                Q.save_calibration(str(calibration), stats,
+                                   pct=calibration_pct)
         hw = _prepare_hw()
         run_vars = jax.jit(lambda f: Q.quantize(ir, f, stats,
                                                 mode=int8_mode,

@@ -78,6 +78,23 @@ def test_evaluate_dataset_sharded_matches_single(mini_split):
         np.testing.assert_allclose(s1, s8, atol=1e-5)
 
 
+def test_evaluate_calibration_artifact(mini_split, tmp_path):
+    """evaluate_dataset(calibration=path): the first int8 run freezes its
+    stats to the artifact, the second loads them — identical metrics, and
+    eval can certify exactly the quantization deployment serves."""
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    ds = KaistDataset(mini_split, img_size=64, rect=True)
+    cal = str(tmp_path / "c.npz")
+    kw = dict(batch_size=4, conf_thres=0.005, compute_dtype=jnp.float32,
+              int8=True)
+    r1 = evaluate_dataset(ir, variables, ds, calibration=cal, **kw)
+    assert os.path.exists(cal)
+    r2 = evaluate_dataset(ir, variables, ds, calibration=cal, **kw)
+    np.testing.assert_array_equal(r1["coco_stats"], r2["coco_stats"])
+    assert r1["ap"] == r2["ap"] and r1["lamr"] == r2["lamr"]
+
+
 def test_predictor_sharded_matches_single():
     ir = compile_cfg(TINY, yolo_strides=[8, 4])
     variables = graph.init(ir, jax.random.PRNGKey(0))
