@@ -90,6 +90,12 @@ def main(argv=None):
                    help="calibration artifact (.npz from tools/calibrate.py): "
                         "if it exists the server starts fully quantized; "
                         "otherwise the first requests' stats are saved there")
+    p.add_argument("--int8-qvars", default="",
+                   help="quantized-variables artifact (.npz, "
+                        "tools/calibrate.py --quantized-out): loads the "
+                        "finished int8 model, skipping the startup "
+                        "quantize compile; saved there after first "
+                        "quantization if missing")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel serving over N devices (-1 = all): "
                         "requests shard over the batch, params replicate — "
@@ -123,7 +129,8 @@ def main(argv=None):
     predictor = Predictor(ir, variables, img_size=opt.img_size,
                           conf_thres=opt.conf_thres, batch_buckets=(1,),
                           int8=opt.int8, int8_mode=opt.int8_mode,
-                          calibration=opt.int8_calib or None, mesh=mesh)
+                          calibration=opt.int8_calib or None,
+                          quantized=opt.int8_qvars or None, mesh=mesh)
     if not opt.no_warmup:
         h, w = opt.warmup_hw or (max(64, opt.img_size),
                                  max(64, int(opt.img_size * 1.25)))

@@ -422,6 +422,45 @@ def load_calibration(path: str) -> tuple[dict, float]:
     return stats, pct
 
 
+def save_quantized(path: str, qvars: dict, *, mode: str,
+                   hw: tuple | None = None) -> None:
+    """Persist :func:`quantize` output as a single-file .npz deployment
+    artifact (int8 kernels + scales + fp tails, plus the plan mode and the
+    prepare size baked into the kernels).
+
+    Rationale: re-quantizing at server startup costs a full quantize-jit
+    compile (~13 min for the flagship through the tunnel, uncached); loading
+    the finished variables is IO-only, so int8 replicas come up as fast as
+    bf16 ones. The tree is pure nested dicts with array leaves
+    (float32/bfloat16/int8), so a flat key/value npz reconstructs it
+    exactly."""
+    from ..utils.checkpoint import _flatten
+
+    flat = _flatten({"q": jax.device_get(qvars)})
+    flat["__mode__"] = np.asarray(mode)
+    flat["__hw__"] = (np.asarray(hw, np.int64) if hw is not None
+                      else np.asarray([], np.int64))
+    np.savez(path, **flat)
+
+
+def load_quantized(path: str) -> tuple[dict, str, tuple | None]:
+    """Load a :func:`save_quantized` artifact -> (qvars, mode, hw)."""
+    with np.load(path) as z:
+        mode = str(z["__mode__"])
+        hw_arr = z["__hw__"]
+        hw = tuple(int(x) for x in hw_arr) if hw_arr.size else None
+        tree: dict = {}
+        for key in z.files:
+            if key in ("__mode__", "__hw__"):
+                continue
+            parts = key.split("/")
+            node = tree
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = z[key]
+    return tree["q"], mode, hw
+
+
 # ------------------------------------------------------------------- quantize
 
 def _quant_weight(w):

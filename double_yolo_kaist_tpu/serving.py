@@ -29,7 +29,7 @@ class Predictor:
                  compute_dtype=jnp.bfloat16, int8: bool = False,
                  int8_mode: str = "chain", calibration_batches: int = 2,
                  calibration_pct: float = 100.0, calibration=None,
-                 mesh=None):
+                 quantized=None, mesh=None):
         """``int8``: serve the post-training-quantized path
         (models/quantize.py). Activation scales are calibrated on the first
         ``calibration_batches`` batches served (production pattern: warm the
@@ -50,6 +50,14 @@ class Predictor:
         traffic-dependent warmup window. If it doesn't exist yet, stats
         measured from the first ``calibration_batches`` requests are
         written there, freezing this server's calibration for the fleet.
+
+        ``quantized``: path to a finished quantized-variables artifact
+        (models/quantize.save_quantized). Loading it skips fold+quantize
+        entirely — int8 replicas start as fast as bf16 ones (requantizing
+        at startup costs a full quantize-jit compile, ~13 min for the
+        flagship through the tunnel). If the file doesn't exist it is
+        written after this server's first quantization. Takes precedence
+        over ``calibration``.
 
         ``mesh``: optional jax.sharding.Mesh — every serve program runs
         data-parallel over the mesh's first axis (requests sharded over the
@@ -124,10 +132,27 @@ class Predictor:
             self._infer_q_raw = infer_q
 
         self._cal_path = str(calibration) if calibration else None
-        if int8 and self._cal_path:
+        self._q_path = str(quantized) if quantized else None
+        if int8 and (self._q_path or self._cal_path):
             import os as _os
-            if _os.path.exists(self._cal_path):
-                from .models import quantize as Q
+
+            from .models import quantize as Q
+            if self._q_path and _os.path.exists(self._q_path):
+                qv, qmode, qhw = Q.load_quantized(self._q_path)
+                if qmode != int8_mode:
+                    raise ValueError(
+                        f"quantized artifact {self._q_path} was built for "
+                        f"mode={qmode!r}, server requested {int8_mode!r}")
+                if qhw is not None and qhw != (img_size, img_size):
+                    raise ValueError(
+                        f"quantized artifact {self._q_path} prepared for "
+                        f"hw={qhw}, server img_size={img_size} — its s2d "
+                        f"kernels would silently fall back to per-call "
+                        f"transforms; re-export with tools/calibrate.py")
+                qv = jax.tree.map(jnp.asarray, qv)
+                self._qvars = (jax.device_put(qv, self._rep)
+                               if self._rep is not None else qv)
+            elif self._cal_path and _os.path.exists(self._cal_path):
                 stats, _pct = Q.load_calibration(self._cal_path)
                 self._quantize_from_stats(stats)
 
@@ -154,6 +179,8 @@ class Predictor:
         return prog
 
     def _quantize_from_stats(self, stats: dict) -> None:
+        import os as _os
+
         from .models import quantize as Q
         hw = (self.img_size, self.img_size)
         self._qvars = jax.jit(
@@ -161,6 +188,9 @@ class Predictor:
                                  mode=self._int8_mode, hw=hw))(self.folded)
         if self._rep is not None:
             self._qvars = jax.device_put(self._qvars, self._rep)
+        if self._q_path and not _os.path.exists(self._q_path):
+            Q.save_quantized(self._q_path, self._qvars,
+                             mode=self._int8_mode, hw=hw)
 
     def _ensure_calibrated(self, xv, xl):
         """Accumulate warm-up batches, then quantize. Returns True once the

@@ -134,6 +134,37 @@ def test_calibration_artifact_roundtrip(tmp_path):
         np.testing.assert_array_equal(ca, cb)
 
 
+def test_quantized_artifact_roundtrip(tmp_path):
+    """Finished quantized variables persist and reload: a Predictor given
+    the artifact starts int8-ready WITHOUT running fold+quantize (the
+    startup-compile skip), with detections identical to the producer's.
+    A mode mismatch is rejected loudly."""
+    import pytest
+
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    qpath = str(tmp_path / "qvars.npz")
+    kw = dict(img_size=64, conf_thres=0.005, batch_buckets=(4,),
+              compute_dtype=jnp.float32, int8=True, calibration_batches=1)
+    a = Predictor(ir, variables, quantized=qpath, **kw)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (4, 96, 128, 3), dtype=np.uint8)
+    a(imgs, imgs)                      # calibrates, quantizes, saves qvars
+    assert os.path.exists(qpath)
+    out_a = a(imgs, imgs)
+
+    b = Predictor(ir, variables, quantized=qpath, **kw)
+    assert b._qvars is not None        # loaded, no quantize pass
+    out_b = b(imgs, imgs)
+    for (ba, sa, ca), (bb, sb, cb) in zip(out_a, out_b):
+        np.testing.assert_array_equal(ba, bb)
+        np.testing.assert_array_equal(sa, sb)
+        np.testing.assert_array_equal(ca, cb)
+
+    with pytest.raises(ValueError, match="mode"):
+        Predictor(ir, variables, quantized=qpath, int8_mode="seed", **kw)
+
+
 def test_warmup_batch_snaps_to_bucket():
     """An explicit warmup batch override is snapped to the bucket __call__
     would pick: warming an off-bucket shape wastes the compile, and on a

@@ -60,6 +60,14 @@ def main(argv=None):
     p.add_argument("--fp32", action="store_true",
                    help="measure in float32 (CPU smoke runs)")
     p.add_argument("--out", required=True, help="output .npz artifact")
+    p.add_argument("--quantized-out", default="",
+                   help="also export the finished quantized variables "
+                        "(.npz, models/quantize.save_quantized) so servers "
+                        "skip the startup quantize compile entirely "
+                        "(cli/serve.py --int8-qvars)")
+    p.add_argument("--int8-mode", default="chain",
+                   choices=("seed", "chain", "all", "edge"),
+                   help="PTQ plan baked into --quantized-out")
     opt = p.parse_args(argv)
 
     enable_compile_cache()
@@ -86,6 +94,18 @@ def main(argv=None):
     print(f"calibration: {len(stats)} stats ({n_vec} per-channel vectors) "
           f"from {min(opt.batches, len(ds) // opt.batch_size)} batches "
           f"@pct={opt.pct} -> {opt.out}")
+
+    if opt.quantized_out:
+        # hw must match the serving Predictor's prepare size
+        # ((img_size, img_size)) or its s2d kernels silently fall back to
+        # per-call transforms
+        hw = (opt.img_size, opt.img_size)
+        qvars = jax.jit(lambda f: Q.quantize(
+            ir, f, stats, mode=opt.int8_mode, hw=hw))(folded)
+        Q.save_quantized(opt.quantized_out, qvars, mode=opt.int8_mode,
+                         hw=hw)
+        print(f"quantized variables (mode={opt.int8_mode}, hw={hw}) -> "
+              f"{opt.quantized_out}")
 
 
 if __name__ == "__main__":
