@@ -52,15 +52,38 @@ def measure_fps(ir, args, int8: bool) -> float:
           file=sys.stderr, flush=True)
 
     if int8:
+        import os
+
         from double_yolo_kaist_tpu.models import quantize as Q
 
-        rng0 = np.random.default_rng(1)
-        cal = jnp.asarray(rng0.random((8, args.height, args.width, 3),
-                                      np.float32), jnp.bfloat16)
-        stats = Q.calibrate(ir, folded, [(cal, cal)])
-        folded = jax.jit(lambda f: Q.quantize(
-            ir, f, stats, mode=args.int8_mode,
-            hw=(args.height, args.width)))(folded)
+        # the quantize() output is fully deterministic here (PRNGKey(0)
+        # init, seeded calibration batch), and its jit compile (~13 min
+        # fresh through the tunnel) is NOT covered by the persistent XLA
+        # cache — so cache the finished artifact itself across runs
+        cdir = os.path.join(os.path.expanduser("~"), ".cache",
+                            "dyk_tpu_jax")
+        qpath = os.path.join(
+            cdir, f"bench_qvars_{args.model}_{args.int8_mode}_"
+                  f"{args.height}x{args.width}.npz")
+        if os.path.exists(qpath):
+            qv, _m, _hw = Q.load_quantized(qpath)
+            folded = jax.tree.map(jnp.asarray, qv)
+            print(f"# quantized vars loaded from {qpath}",
+                  file=sys.stderr, flush=True)
+        else:
+            rng0 = np.random.default_rng(1)
+            cal = jnp.asarray(rng0.random((8, args.height, args.width, 3),
+                                          np.float32), jnp.bfloat16)
+            stats = Q.calibrate(ir, folded, [(cal, cal)])
+            folded = jax.jit(lambda f: Q.quantize(
+                ir, f, stats, mode=args.int8_mode,
+                hw=(args.height, args.width)))(folded)
+            try:
+                os.makedirs(cdir, exist_ok=True)
+                Q.save_quantized(qpath, folded, mode=args.int8_mode,
+                                 hw=(args.height, args.width))
+            except OSError:
+                pass
         apply_fn = lambda p, a, b: Q.apply_quantized(  # noqa: E731
             ir, p, a, b, compute_dtype=jnp.bfloat16,
             mode=args.int8_mode)[0]

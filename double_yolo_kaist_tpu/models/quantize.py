@@ -434,9 +434,19 @@ def save_quantized(path: str, qvars: dict, *, mode: str,
     bf16 ones. The tree is pure nested dicts with array leaves
     (float32/bfloat16/int8), so a flat key/value npz reconstructs it
     exactly."""
+    import ml_dtypes
+
     from ..utils.checkpoint import _flatten
 
     flat = _flatten({"q": jax.device_get(qvars)})
+    # npz has no native bfloat16: it round-trips as raw void ('|V2') that
+    # jnp.asarray rejects — store bf16 leaves as uint16 bit patterns plus a
+    # key list, and view them back on load (bit-exact)
+    bf16_keys = [k for k, a in flat.items()
+                 if a.dtype == ml_dtypes.bfloat16]
+    for k in bf16_keys:
+        flat[k] = flat[k].view(np.uint16)
+    flat["__bf16__"] = np.asarray(bf16_keys)
     flat["__mode__"] = np.asarray(mode)
     flat["__hw__"] = (np.asarray(hw, np.int64) if hw is not None
                       else np.asarray([], np.int64))
@@ -445,19 +455,26 @@ def save_quantized(path: str, qvars: dict, *, mode: str,
 
 def load_quantized(path: str) -> tuple[dict, str, tuple | None]:
     """Load a :func:`save_quantized` artifact -> (qvars, mode, hw)."""
+    import ml_dtypes
+
+    meta = ("__mode__", "__hw__", "__bf16__")
     with np.load(path) as z:
         mode = str(z["__mode__"])
         hw_arr = z["__hw__"]
         hw = tuple(int(x) for x in hw_arr) if hw_arr.size else None
+        bf16 = set(z["__bf16__"].tolist()) if "__bf16__" in z.files else set()
         tree: dict = {}
         for key in z.files:
-            if key in ("__mode__", "__hw__"):
+            if key in meta:
                 continue
+            arr = z[key]
+            if key in bf16:
+                arr = arr.view(ml_dtypes.bfloat16)
             parts = key.split("/")
             node = tree
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
-            node[parts[-1]] = z[key]
+            node[parts[-1]] = arr
     return tree["q"], mode, hw
 
 

@@ -268,3 +268,31 @@ def test_calibration_save_load_roundtrip(tmp_path):
     io1, _ = Q.apply_quantized(ir, q1, xv, xl, compute_dtype=jnp.float32)
     io2, _ = Q.apply_quantized(ir, q2, xv, xl, compute_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(io1), np.asarray(io2))
+
+
+def test_quantized_artifact_preserves_bf16(tmp_path):
+    """save_quantized/load_quantized round-trip bfloat16 leaves bit-exactly
+    (npz has no native bf16 — they travel as uint16 bit patterns)."""
+    import ml_dtypes
+
+    ir, folded, batches = _setup()
+    folded16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), folded)
+    stats = Q.calibrate(ir, folded16, batches)
+    qv = Q.quantize(ir, folded16, stats, mode="chain", hw=(64, 64))
+    path = str(tmp_path / "q.npz")
+    Q.save_quantized(path, qv, mode="chain", hw=(64, 64))
+    re, mode, hw = Q.load_quantized(path)
+    assert mode == "chain" and hw == (64, 64)
+    flat_a = jax.tree.leaves(jax.device_get(qv))
+    flat_b = jax.tree.leaves(re)
+    assert len(flat_a) == len(flat_b)
+    saw_bf16 = False
+    for a, b in zip(flat_a, flat_b):
+        assert np.asarray(a).dtype == np.asarray(b).dtype
+        if np.asarray(a).dtype == ml_dtypes.bfloat16:
+            saw_bf16 = True
+            np.testing.assert_array_equal(
+                np.asarray(a).view(np.uint16), np.asarray(b).view(np.uint16))
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert saw_bf16
