@@ -49,6 +49,11 @@ def main(argv=None):
                    help="calibration artifact (.npz, tools/calibrate.py): "
                         "evaluate the same frozen quantization deployment "
                         "serves; if missing, this run's stats are saved there")
+    p.add_argument("--int8-qvars", default="",
+                   help="quantized-variables artifact (.npz, tools/"
+                        "calibrate.py --quantized-out): evaluate the LITERAL "
+                        "int8 model serving loads (strongest deployment "
+                        "certification)")
     p.add_argument("--cache-images", choices=("ram", "disk"), default=None,
                    help="cache decoded pairs (see cli/train.py)")
     p.add_argument("--device-cache", choices=("auto", "on", "off"),
@@ -73,6 +78,7 @@ def main(argv=None):
         int8=opt.int8, int8_mode=opt.int8_mode, merge=opt.merge_nms,
         calibration_pct=opt.calibration_pct,
         calibration=opt.int8_calib or None,
+        quantized=opt.int8_qvars or None,
         device_cache={"auto": None, "on": True, "off": False}[opt.device_cache],
         progress=True)
 

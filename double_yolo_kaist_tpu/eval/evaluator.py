@@ -54,7 +54,7 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
                      progress: bool = False, int8: bool = False,
                      int8_mode: str = "chain", calibration_batches: int = 2,
                      calibration_pct: float = 100.0, calibration=None,
-                     merge: bool = False, mesh=None,
+                     quantized=None, merge: bool = False, mesh=None,
                      device_cache: bool | None = None):
     """Run the full eval loop. Returns dict with coco stats (12,), ap, lamr,
     fps, curves, and per-image predictions. ``int8``: selective PTQ inference
@@ -111,7 +111,34 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
         bsh = NamedSharding(mesh, P(mesh.axis_names[0]))
         return jax.jit(fn, in_shardings=(rep, bsh, bsh), out_shardings=bsh)
 
-    if int8:
+    if int8 and quantized and os.path.exists(str(quantized)):
+        # the strongest certification: evaluate the LITERAL quantized
+        # variables a deployment serves (models/quantize.save_quantized),
+        # bypassing fold/calibrate/quantize entirely. A prepare-size
+        # mismatch (serving prepares square img_size; rect eval runs e.g.
+        # 512x640) only costs speed — mismatched precomputed s2d kernels
+        # fail their shape check and fall back to per-call transforms.
+        from ..models import quantize as Q
+
+        run_vars, qmode, qhw = Q.load_quantized(str(quantized))
+        if qmode != int8_mode:
+            raise ValueError(
+                f"quantized artifact {quantized} was built for mode="
+                f"{qmode!r}, eval requested {int8_mode!r}")
+        if qhw is not None and tuple(qhw) != _prepare_hw():
+            print(f"note: artifact prepared for hw={qhw}, eval runs "
+                  f"{_prepare_hw()} — s2d kernels transform per call "
+                  f"(slower, same numbers)", flush=True)
+        run_vars = jax.tree.map(jnp.asarray, run_vars)
+
+        def build():
+            def infer(params, xv, xl):
+                io, _ = Q.apply_quantized(ir, params, xv, xl,
+                                          compute_dtype=compute_dtype,
+                                          mode=int8_mode)
+                return _pack(_nms(io))
+            return _jit(infer)
+    elif int8:
         from ..models import quantize as Q
 
         fold = _cached((ir_key, "fold"),

@@ -95,6 +95,40 @@ def test_evaluate_calibration_artifact(mini_split, tmp_path):
     assert r1["ap"] == r2["ap"] and r1["lamr"] == r2["lamr"]
 
 
+def test_evaluate_quantized_artifact(mini_split, tmp_path):
+    """evaluate_dataset(quantized=path) scores the LITERAL artifact a
+    server loads: metrics equal quantizing in-process from the same frozen
+    stats, and a mode mismatch is rejected."""
+    from double_yolo_kaist_tpu.models import quantize as Q
+
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    ds = KaistDataset(mini_split, img_size=64, rect=True)
+    kw = dict(batch_size=4, conf_thres=0.005, compute_dtype=jnp.float32,
+              int8=True)
+
+    # freeze stats, build the artifact exactly as tools/calibrate.py does
+    cal = str(tmp_path / "c.npz")
+    r_stats = evaluate_dataset(ir, variables, ds, calibration=cal, **kw)
+    stats, _ = Q.load_calibration(cal)
+    folded = graph.fold_batchnorm(ir, variables)
+    folded = jax.tree.map(lambda a: a.astype(jnp.float32), folded)
+    hw = tuple(int(x) for x in ds.batch_shapes[0])  # eval's rect prepare size
+    qpath = str(tmp_path / "q.npz")
+    Q.save_quantized(qpath, Q.quantize(ir, folded, stats, mode="chain",
+                                       hw=hw),
+                     mode="chain", hw=hw)
+
+    r_art = evaluate_dataset(ir, variables, ds, quantized=qpath, **kw)
+    np.testing.assert_allclose(r_art["coco_stats"], r_stats["coco_stats"],
+                               atol=1e-9)
+    assert r_art["ap"] == pytest.approx(r_stats["ap"], abs=1e-9)
+
+    with pytest.raises(ValueError, match="mode"):
+        evaluate_dataset(ir, variables, ds, quantized=qpath,
+                         int8_mode="seed", **kw)
+
+
 def test_predictor_sharded_matches_single():
     ir = compile_cfg(TINY, yolo_strides=[8, 4])
     variables = graph.init(ir, jax.random.PRNGKey(0))
