@@ -62,8 +62,12 @@ def measure_fps(ir, args, int8: bool) -> float:
         # cache — so cache the finished artifact itself across runs
         cdir = os.path.join(os.path.expanduser("~"), ".cache",
                             "dyk_tpu_jax")
+        # key the artifact by the PLAN too, so a planner change (e.g. the
+        # thin-input stem exclusion) invalidates stale cached variables
+        targets, _ = Q.plan_quantization(ir, args.int8_mode)
+        qplan = f"t{len(targets)}-{sum(targets) % 99991}"
         qpath = os.path.join(
-            cdir, f"bench_qvars_{args.model}_{args.int8_mode}_"
+            cdir, f"bench_qvars_{args.model}_{args.int8_mode}_{qplan}_"
                   f"{args.height}x{args.width}.npz")
         if os.path.exists(qpath):
             qv, _m, _hw = Q.load_quantized(qpath)

@@ -41,15 +41,27 @@ def _standard_convs(ir: GraphIR) -> set:
             if n.kind == "conv" and n.groups == 1 and n.index not in skip}
 
 
-def _quantizable(ir: GraphIR, min_kernel: int = 3) -> set:
+def _quantizable(ir: GraphIR, min_kernel: int = 3, min_in_ch: int = 16) -> set:
     """Nodes worth quantizing unconditionally: standard convs with
     kernel >= 3 (where the FLOPs are). 1x1 convs in isolation are
     HBM-bandwidth-bound — the extra quant/dequant elementwise passes cost
     more than the int8 MXU saving (measured end-to-end: blanket quantization
     with per-conv quant/dequant is SLOWER than bf16). 1x1 convs *inside int8
     chains* are handled by plan_quantization. Head predictor convs stay fp
-    for accuracy."""
-    return {i for i in _standard_convs(ir) if ir.nodes[i].kernel >= min_kernel}
+    for accuracy.
+
+    Thin-INPUT convs (in_ch < 16, i.e. raw-image stems at K = k*k*in_ch =
+    27) are excluded too: the contraction is far below the MXU's 256-lane
+    K tile so int8 buys no MXU time, while the quant/dequant boundary
+    passes run at FULL input resolution. Measured on the MobileNetv3 dual
+    (where the two stems were the ONLY planned targets and no s2d region
+    absorbs them): int8 1610 fps vs bf16 2485 — a 35% regression from
+    quantizing just those two convs (docs/ROADMAP.md round-3 int8 family
+    sweep). Classic backbones are unaffected: their stems are already
+    excluded via stem_fusion_pairs and every other target has in_ch >= 32."""
+    return {i for i in _standard_convs(ir)
+            if ir.nodes[i].kernel >= min_kernel
+            and ir.nodes[i].in_ch >= min_in_ch}
 
 
 def _chain_edge(ir: GraphIR, i: int, targets: set) -> bool:

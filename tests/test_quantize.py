@@ -296,3 +296,41 @@ def test_quantized_artifact_preserves_bf16(tmp_path):
         else:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert saw_bf16
+
+
+def test_thin_input_stems_not_quantized():
+    """in_ch<16 convs (raw-image stems at K=27) are excluded from seed/chain
+    plans: no MXU win below the 256-lane K tile, and the full-resolution
+    boundary passes measured a 35% regression on the MobileNetv3 dual
+    (docs/ROADMAP.md round-3 int8 family sweep)."""
+    from double_yolo_kaist_tpu.models.zoo import cfg_path
+
+    mnv3 = compile_cfg(cfg_path("Double-YOLOv4-MNv3-Fshare-Global-CSE3"))
+    for mode in ("seed", "chain"):
+        targets, _ = Q.plan_quantization(mnv3, mode)
+        assert targets == set(), f"{mode}: {sorted(targets)}"
+
+    flagship = compile_cfg(cfg_path("Double-YOLOv4-Fshare-Global-CSE3"))
+    targets, _ = Q.plan_quantization(flagship, "chain")
+    # the classic backbone's plan is untouched by the thin-input rule
+    assert len(targets) >= 80
+    assert all(flagship.nodes[i].in_ch >= 16 for i in targets)
+
+
+def test_empty_plan_quantize_matches_folded():
+    """quantize/apply_quantized degrade gracefully to the pure-fp program
+    when the plan is empty (the MobileNet-family case)."""
+    ir, folded, batches = _setup()
+    stats = Q.calibrate(ir, folded, batches, compute_dtype=jnp.float32)
+    import unittest.mock as mock
+    with mock.patch.object(Q, "_quantizable", lambda *a, **k: set()):
+        targets, emits = Q.plan_quantization(ir, "chain")
+        assert targets == set()
+        qvars = Q.quantize(ir, folded, stats)
+        xv, xl = batches[0]
+        got = Q.apply_quantized(ir, qvars, xv, xl,
+                                compute_dtype=jnp.float32)[0]
+    want = graph.apply_folded(ir, folded, xv, xl,
+                              compute_dtype=jnp.float32)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)

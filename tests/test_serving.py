@@ -176,3 +176,27 @@ def test_warmup_batch_snaps_to_bucket():
                      batch_buckets=(2, 4), compute_dtype=jnp.float32)
     assert pred._bucket(3) == 4
     pred.warmup((96, 128), batch=3)          # snaps to bucket 4
+
+
+def test_int8_empty_plan_downgrades_to_bf16():
+    """A model whose int8 plan is empty (MobileNet family) serves bf16:
+    no calibration batches are collected, no quantize compile happens."""
+    import unittest.mock as mock
+    import warnings
+
+    from double_yolo_kaist_tpu.models import quantize as Q
+
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    with mock.patch.object(Q, "plan_quantization",
+                           lambda ir, mode="chain": (set(), set())):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            pred = Predictor(ir, variables, img_size=64, batch_buckets=(2,),
+                             compute_dtype=jnp.float32, int8=True)
+        assert any("plan" in str(x.message) for x in w)
+    assert pred._int8 is False
+    img = np.full((48, 64, 3), 128, np.uint8)
+    dets = pred(np.stack([img, img]), np.stack([img, img]))
+    assert len(dets) == 2
+    assert not pred._cal_batches

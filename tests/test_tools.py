@@ -91,3 +91,23 @@ def test_plot_activations(tmp_path):
     out = tmp_path / "act.png"
     plot_curves.draw_activations(str(out))
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_real_train_demo_staging(tmp_path):
+    """real_train_demo stages the bundled pairs into a loadable dataset."""
+    import pytest
+    if not os.path.isdir("/root/reference/imgs/ori"):
+        pytest.skip("bundled reference pairs not available")
+    import real_train_demo as rtd
+    data, n = rtd.stage_dataset(str(tmp_path), seed=0)
+    assert n >= 8
+    from double_yolo_kaist_tpu.config.parser import parse_data_cfg
+    from double_yolo_kaist_tpu.data.dataset import KaistDataset
+    dcfg = parse_data_cfg(data)
+    ds = KaistDataset(dcfg["train"], img_size=64, batch_size=4, augment=False)
+    v, l = ds.load_pair(0)
+    assert v.shape == l.shape and v.ndim == 3
+    lab = ds.labels[0]
+    assert lab.shape[1] == 5 and len(lab) >= 1
+    # labels are normalized xywh in (0, 1]
+    assert (lab[:, 1:] > 0).all() and (lab[:, 1:] <= 1).all()
