@@ -334,3 +334,43 @@ def test_empty_plan_quantize_matches_folded():
                               compute_dtype=jnp.float32)[0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_int8_evaluator_empty_plan_downgrades(tmp_path):
+    """evaluate_dataset(int8=True) on a model with an empty int8 plan warns
+    and produces the folded-path results (no calibration, no quantize)."""
+    import warnings
+    import unittest.mock as mock
+
+    import cv2
+    from double_yolo_kaist_tpu.data.dataset import KaistDataset
+    from double_yolo_kaist_tpu.eval import evaluator as EV
+
+    img_dir = tmp_path / "images" / "s"
+    lab_dir = tmp_path / "labels" / "s"
+    img_dir.mkdir(parents=True)
+    lab_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    logical = []
+    for i in range(4):
+        im = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+        cv2.imwrite(str(img_dir / f"I{i}_visible.jpg"), im)
+        cv2.imwrite(str(img_dir / f"I{i}_lwir.jpg"), im)
+        (lab_dir / f"I{i}.txt").write_text("0 0.5 0.5 0.3 0.4\n")
+        logical.append(str(img_dir / f"I{i}.jpg"))
+    (tmp_path / "t.txt").write_text("\n".join(logical))
+    ds = KaistDataset(str(tmp_path / "t.txt"), 64, 4, rect=True)
+
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    with mock.patch.object(Q, "plan_quantization",
+                           lambda ir, mode="chain": (set(), set())):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = EV.evaluate_dataset(ir, variables, ds, batch_size=4,
+                                      compute_dtype=jnp.float32, int8=True)
+        assert any("empty" in str(x.message) for x in w)
+    want = EV.evaluate_dataset(ir, variables, ds, batch_size=4,
+                               compute_dtype=jnp.float32)
+    np.testing.assert_allclose(got["coco_stats"], want["coco_stats"])
+    assert got["ap"] == want["ap"]
