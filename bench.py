@@ -62,10 +62,21 @@ def measure_fps(ir, args, int8: bool) -> float:
         # cache — so cache the finished artifact itself across runs
         cdir = os.path.join(os.path.expanduser("~"), ".cache",
                             "dyk_tpu_jax")
-        # key the artifact by the PLAN too, so a planner change (e.g. the
-        # thin-input stem exclusion) invalidates stale cached variables
-        targets, _ = Q.plan_quantization(ir, args.int8_mode)
-        qplan = f"t{len(targets)}-{sum(targets) % 99991}"
+        # key the artifact by the FULL PLAN, so a planner change (e.g. the
+        # thin-input stem exclusion) invalidates stale cached variables;
+        # edge plans depend on hw (s2d-region veto), so hash the resolved
+        # edge plan, not the hw-free summary
+        import hashlib
+        if args.int8_mode == "edge":
+            tset, int8_out, folded_in = Q.plan_edges(
+                ir, (args.height, args.width))
+            sig = (sorted(tset),
+                   sorted(i for i, v in int8_out.items() if v),
+                   sorted(folded_in))
+        else:
+            targets, emits = Q.plan_quantization(ir, args.int8_mode)
+            sig = (sorted(targets), sorted(emits))
+        qplan = hashlib.md5(repr(sig).encode()).hexdigest()[:10]
         qpath = os.path.join(
             cdir, f"bench_qvars_{args.model}_{args.int8_mode}_{qplan}_"
                   f"{args.height}x{args.width}.npz")

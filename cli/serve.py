@@ -96,6 +96,13 @@ def main(argv=None):
                         "finished int8 model, skipping the startup "
                         "quantize compile; saved there after first "
                         "quantization if missing")
+    p.add_argument("--calibration-batches", type=int, default=2,
+                   help="requests to gather activation stats from before "
+                        "quantizing (--int8 without --int8-calib artifact)")
+    p.add_argument("--calibration-pct", type=float, default=100.0,
+                   help="max-abs calibration percentile (100.0 = exact "
+                        "max-abs, the measured-best default with few "
+                        "batches; 99.x clips outlier-prone traffic)")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel serving over N devices (-1 = all): "
                         "requests shard over the batch, params replicate — "
@@ -129,6 +136,8 @@ def main(argv=None):
     predictor = Predictor(ir, variables, img_size=opt.img_size,
                           conf_thres=opt.conf_thres, batch_buckets=(1,),
                           int8=opt.int8, int8_mode=opt.int8_mode,
+                          calibration_batches=opt.calibration_batches,
+                          calibration_pct=opt.calibration_pct,
                           calibration=opt.int8_calib or None,
                           quantized=opt.int8_qvars or None, mesh=mesh)
     if not opt.no_warmup:

@@ -75,21 +75,15 @@ def evaluate_dataset(ir, variables, dataset, *, batch_size: int = 32,
     — None auto-pools the split (HBM under the shared DYK_DEVICE_CACHE_GB
     budget, else pinned host memory) so repeated/in-train evals skip the
     per-epoch upload; False streams."""
-    if int8 and not quantized:
+    if int8 and not (quantized and os.path.exists(str(quantized))):
         from ..models import quantize as Q
 
-        if not Q.plan_quantization(ir, int8_mode)[0]:
-            # empty int8 plan (MobileNet family: thin-input stems excluded
-            # by the planner, depthwise convs can't carry int8) — nothing
-            # to quantize, so skip calibration AND the quantize compile
-            # and evaluate the folded bf16 path instead. Must happen
-            # BEFORE the program-cache key is built: the downgraded run
-            # compiles/reuses the folded program, not the quantized one.
-            import warnings
-
-            warnings.warn(
-                f"int8 plan for this model ({int8_mode!r} mode) is empty "
-                "— evaluating the folded bf16 path", stacklevel=2)
+        # must happen BEFORE the program-cache key is built: the
+        # downgraded run compiles/reuses the folded program, not the
+        # quantized one (a frozen --int8-qvars artifact, when present,
+        # is still evaluated literally — hence the exists() gate)
+        if Q.warn_if_empty_plan(ir, int8_mode,
+                                "evaluating the folded bf16 path"):
             int8 = False
 
     ir_key = (ir.cfg_path, ir.num_layers, ir.second_index)

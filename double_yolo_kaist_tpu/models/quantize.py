@@ -88,7 +88,8 @@ def plan_quantization(ir: GraphIR, mode: str = "chain"):
         chains). Chain-internal activations are requantized to int8 in the
         producing fusion instead of dequantized: halves the HBM write and
         removes the consumer's quantize pass.
-      * ``all``   — every standard conv (head predictors still fp), with
+      * ``all``   — every standard conv (head predictors still fp;
+        thin-input convs excluded in every mode — see _quantizable), with
         chain emission wherever sole-consumer edges exist.
       * ``edge``  — see :func:`plan_edges`: 'all' targets PLUS (nearly)
         every activation EDGE stored int8 with per-channel scales; fp
@@ -98,7 +99,9 @@ def plan_quantization(ir: GraphIR, mode: str = "chain"):
     if mode == "edge":
         targets, int8_out, _ = plan_edges(ir)
         return targets, {i for i, v in int8_out.items() if v}
-    standard = _standard_convs(ir)
+    # the thin-input rule (see _quantizable) applies to every mode: a conv
+    # with in_ch < 16 never pays back its boundary passes
+    standard = {i for i in _standard_convs(ir) if ir.nodes[i].in_ch >= 16}
     if mode == "seed":
         targets = _quantizable(ir)
         return targets, set()
@@ -117,6 +120,23 @@ def plan_quantization(ir: GraphIR, mode: str = "chain"):
         raise ValueError(f"unknown quantization mode {mode!r}")
     emits = {i for i in targets if _chain_edge(ir, i, targets)}
     return targets, emits
+
+
+def warn_if_empty_plan(ir: GraphIR, mode: str, fallback: str) -> bool:
+    """True (with a one-line warning) if ``mode``'s plan has no targets —
+    the MobileNet-family case: depthwise convs can't carry int8 and the
+    thin-input stems are excluded by the planner. Callers (serving,
+    evaluator) then skip calibration AND the quantize compile and run the
+    ``fallback`` path, which is numerically identical to quantizing an
+    empty plan."""
+    if plan_quantization(ir, mode)[0]:
+        return False
+    import warnings
+
+    warnings.warn(
+        f"int8 plan for this model ({mode!r} mode) is empty — no conv "
+        f"benefits from int8 here; {fallback}", stacklevel=3)
+    return True
 
 
 # ------------------------------------------------------------------ edge plan
@@ -187,7 +207,11 @@ def plan_edges(ir: GraphIR, hw: tuple | None = None):
     rewrites compose additively). The x3 region exits emit plain-basis int8
     as usual.
     """
-    targets = set(_standard_convs(ir))
+    # thin-INPUT convs (in_ch < 16) are excluded here too — same measured
+    # rationale as _quantizable: K = k*k*in_ch is far below the MXU tile so
+    # int8 buys nothing, while their boundary passes run at full resolution
+    # (35% regression on the MobileNet duals' stems)
+    targets = {i for i in _standard_convs(ir) if ir.nodes[i].in_ch >= 16}
     head_pred = {ir.nodes[yi - 1].index for yi in ir.yolo_indices}
     stem_seconds = (set(G.stem_fusion_pairs(ir).values())
                     if G._FUSE_STEM else set())

@@ -122,23 +122,13 @@ class Predictor:
         if int8:
             from .models import quantize as Q
 
-            if not Q.plan_quantization(self.ir, int8_mode)[0]:
-                # e.g. the MobileNet family: depthwise convs can't carry
-                # int8 and the thin-input stems are excluded by the planner
-                # (measured 35% REGRESSION when quantized — quantize.py
-                # _quantizable), so there is nothing to quantize. Serve the
-                # bf16 path and skip calibration entirely.
-                import warnings
-
-                warnings.warn(
-                    f"int8 plan for this model ({int8_mode!r} mode) is "
-                    "empty — no conv benefits from int8 here; serving bf16",
-                    stacklevel=2)
+            if Q.warn_if_empty_plan(self.ir, int8_mode, "serving bf16"):
+                # e.g. the MobileNet family (measured 35% regression when
+                # their stems were quantized): nothing to quantize, so
+                # serve bf16 and skip calibration entirely
                 int8 = self._int8 = False
 
         if int8:
-            from .models import quantize as Q
-
             def infer_q(params, xv, xl):
                 io, _ = Q.apply_quantized(self.ir, params, xv, xl,
                                           compute_dtype=compute_dtype,

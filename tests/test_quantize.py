@@ -309,6 +309,12 @@ def test_thin_input_stems_not_quantized():
     for mode in ("seed", "chain"):
         targets, _ = Q.plan_quantization(mnv3, mode)
         assert targets == set(), f"{mode}: {sorted(targets)}"
+    # the rule applies in EVERY mode: 'all'/'edge' still quantize the
+    # pointwise 1x1s but never the thin-input stems
+    for mode in ("all", "edge"):
+        targets, _ = Q.plan_quantization(mnv3, mode)
+        assert targets, mode
+        assert all(mnv3.nodes[i].in_ch >= 16 for i in targets), mode
 
     flagship = compile_cfg(cfg_path("Double-YOLOv4-Fshare-Global-CSE3"))
     targets, _ = Q.plan_quantization(flagship, "chain")

@@ -90,13 +90,14 @@ def main():
           + "ref GPU fps | speedup |")
     print("|---|---|" + ("---|" if args.int8 else "") + "---|---|")
     for r in rows:
-        if "error" in r:
-            print(f"| {r['model']} | ERROR | | |")
-            continue
-        cells = [r["model"], str(r["bf16_fps"])]
+        # on error keep any leg that DID measure (bf16 may have succeeded
+        # before the int8 leg failed) and pad every column
+        cells = [r["model"], str(r.get("bf16_fps", "ERROR"))]
         if args.int8:
-            cells.append(str(r.get("int8_fps", "")))
-        cells += [str(r["ref_fps"]), f"{r['vs_ref']}x"]
+            cells.append(str(r.get("int8_fps",
+                                   "ERROR" if "error" in r else "")))
+        cells += [str(r.get("ref_fps", "")),
+                  f"{r['vs_ref']}x" if "vs_ref" in r else ""]
         print("| " + " | ".join(cells) + " |")
 
 
