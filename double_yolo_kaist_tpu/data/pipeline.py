@@ -25,10 +25,19 @@ from . import augment as A
 from .clahe import clahe_batch
 from ..train.loss import pad_labels
 
+# distinct PRNG stream for augmentation: train_batches folds the epoch key
+# with this tag before the per-batch fold_in(b0), so augment draws never
+# collide with the trainer's per-step fold_in(key, i) model rng.
+# make_fused_multi_step applies the same tag (fused == unfused bit-exact).
+AUG_STREAM_TAG = 0x41554721
+
+# jitted train-augment programs, cached across epochs (keyed by everything
+# that changes the traced program — see train_batches)
+_TRAIN_AUG_CACHE: dict = {}
+
 
 def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
                           snowflake: bool = False, clahe: bool = False,
-                          max_targets_per_img: int = 16,
                           epoch_partners: bool = True,
                           chunk: int | None = None,
                           from_pool: bool = False,
@@ -98,11 +107,15 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
         l4t = A.resize_bilinear(l_u8[idx], h1, w1, dtype=pix_dtype)
         v4, l4, lab4, m4 = A.mosaic_place(v4t, l4t, lab[idx], lmask[idx],
                                           centers, s)
-        if snowflake:
+        if snowflake or clahe:
+            # reference semantics: snowflake_cutout applies CLAHE
+            # internally (snowflake.py:67-69); standalone clahe is the
+            # `elif self.clahe` branch (kaist_dataset.py:311-313)
             v4 = clahe_batch(jnp.clip(jnp.round(v4), 0, 255)
                              .astype(jnp.uint8)).astype(pix_dtype)
             l4 = clahe_batch(jnp.clip(jnp.round(l4), 0, 255)
                              .astype(jnp.uint8)).astype(pix_dtype)
+        if snowflake:
             v4, l4, m4 = A.snowflake_cutout(None, v4, l4, lab4, m4,
                                             n_thr=n_thr, step=cut_step,
                                             n_snow=n_snow, u=cut_u)
@@ -284,12 +297,22 @@ def device_image_pool(dataset, src_hw, force: bool | None = None):
     # training run that fit
     if force is None and need + _RESIDENT["bytes"] > budget:
         return None
-    cv, cl = [], []
+    # write chunks into preallocated pools with DONATED updates so the
+    # peak transient is pool + one 64-row chunk — accumulating every chunk
+    # and concatenating would briefly hold ~2x the pool in HBM, defeating
+    # the budget gate above
+    upd = jax.jit(
+        lambda p, c, i0: jax.lax.dynamic_update_slice(p, c, (i0, 0, 0, 0)),
+        donate_argnums=0)
+    pv = jnp.zeros((n, h, w, 3), jnp.uint8)
+    pl = jnp.zeros((n, h, w, 3), jnp.uint8)
     for i0 in range(0, n, 64):
         pairs = [dataset.load_pair(i) for i in range(i0, min(i0 + 64, n))]
-        cv.append(jnp.asarray(np.stack([p[0] for p in pairs])))
-        cl.append(jnp.asarray(np.stack([p[1] for p in pairs])))
-    pool = (jnp.concatenate(cv, 0), jnp.concatenate(cl, 0))
+        pv = upd(pv, jnp.asarray(np.stack([p[0] for p in pairs])),
+                 jnp.int32(i0))
+        pl = upd(pl, jnp.asarray(np.stack([p[1] for p in pairs])),
+                 jnp.int32(i0))
+    pool = (pv, pl)
     jax.block_until_ready(pool)
     print(f"device image pool: {n} pairs resident "
           f"({need / 1e9:.2f} GB HBM); batches gather on device", flush=True)
@@ -451,8 +474,6 @@ def train_batch_plan(dataset, batch_size: int, sizes, *,
     stop = n - (n % batch_size) if drop_last else n
     for b0 in range(0, stop, batch_size):
         idx = order[b0:b0 + batch_size]
-        if len(idx) < batch_size and drop_last:
-            break
         load = list(idx)
         if epoch_partners:
             load += list(rng.integers(0, n, 3 * len(idx)))
@@ -463,7 +484,7 @@ def train_batch_plan(dataset, batch_size: int, sizes, *,
 
 
 def train_batches(dataset, batch_size: int, key, *, img_size,
-                  hyp: dict, snowflake: bool = False,
+                  hyp: dict, snowflake: bool = False, clahe: bool = False,
                   max_targets_per_img: int = 16, shuffle: bool = True,
                   drop_last: bool = True, seed_epoch: int = 0,
                   epoch_partners: bool = True,
@@ -501,17 +522,33 @@ def train_batches(dataset, batch_size: int, key, *, img_size,
               "epoch_partners=False for 1x IO with batch-local partners",
               flush=True)
     sizes = [img_size] if isinstance(img_size, int) else list(img_size)
-    augs = {s: make_train_augment_fn(src_hw, s, hyp, snowflake=snowflake,
-                                     max_targets_per_img=max_targets_per_img,
-                                     epoch_partners=epoch_partners,
-                                     from_pool=pool is not None)
-            for s in sizes}
+    # cache the jitted augment programs across epochs: train_batches is
+    # called once per epoch, and a fresh closure per call would miss
+    # jax.jit's identity-keyed cache and retrace the heavy augment program
+    # every epoch (the eval path caches for the same reason)
+    augs = {}
+    for s in sizes:
+        sig = (src_hw, s, tuple(sorted(hyp.items())), snowflake, clahe,
+               epoch_partners, pool is not None,
+               os.environ.get("DYK_AUG_DTYPE", ""),
+               os.environ.get("DYK_AUG_CHUNK", ""))
+        if sig not in _TRAIN_AUG_CACHE:
+            _TRAIN_AUG_CACHE[sig] = make_train_augment_fn(
+                src_hw, s, hyp, snowflake=snowflake, clahe=clahe,
+                epoch_partners=epoch_partners, from_pool=pool is not None)
+        augs[s] = _TRAIN_AUG_CACHE[sig]
+    # augment randomness rides a stream TAGGED apart from the per-step
+    # model rng (trainer folds the same epoch key by step index; without
+    # the tag, fold_in(key, b0) collides with fold_in(key, i) whenever a
+    # batch offset equals a step index). make_fused_multi_step applies the
+    # same tag so fused == unfused holds bit-for-bit.
+    akey = jax.random.fold_in(key, AUG_STREAM_TAG)
     for b0, idx, load, t, m, size in train_batch_plan(
             dataset, batch_size, sizes,
             max_targets_per_img=max_targets_per_img, shuffle=shuffle,
             drop_last=drop_last, seed_epoch=seed_epoch,
             epoch_partners=epoch_partners):
-        sub = jax.random.fold_in(key, b0)
+        sub = jax.random.fold_in(akey, b0)
         if pool is not None:
             batch = augs[size](sub, pool[0], pool[1], jnp.asarray(load),
                                jnp.asarray(t), jnp.asarray(m))
@@ -539,25 +576,49 @@ def prefetch(iterator, depth: int = 2):
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
     err: list = []
+    stop = threading.Event()   # consumer gone — drop the pipeline
+
+    def _put(item) -> bool:
+        # bounded put that gives up when the consumer has exited, so an
+        # aborted epoch (e.g. the non-finite-loss abort) doesn't leave the
+        # worker blocked forever holding `depth` device batches + the
+        # dataset alive in long-lived processes
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # propagate into the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        # drain so a worker mid-put can observe stop and exit
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 # eval preprocess programs, cached across epochs/evaluations (keyed by the
@@ -584,7 +645,22 @@ def eval_batches(dataset, batch_size: int, device_cache: bool | None = None):
             src_hw0 = tuple(int(x) for x in shapes[0][::-1])
             tier, pool = select_image_pool(dataset, src_hw0, device_cache)
     for b0 in range(0, n, batch_size):
-        idx = np.arange(b0, min(b0 + batch_size, n))
+        idx_full = np.arange(b0, min(b0 + batch_size, n))
+        # mixed-shape datasets: np.stack (and the single letterbox geometry
+        # below) require a uniform source shape, so split the batch into
+        # consecutive same-shape runs and yield one homogeneous sub-batch
+        # per run; uniform datasets (KAIST) take the single-run path
+        shp = [tuple(int(x) for x in dataset.shapes[i]) for i in idx_full]
+        runs, start = [], 0
+        for k in range(1, len(idx_full) + 1):
+            if k == len(idx_full) or shp[k] != shp[start]:
+                runs.append(idx_full[start:k])
+                start = k
+        yield from _eval_run_batches(dataset, runs, fns, tier, pool)
+
+
+def _eval_run_batches(dataset, runs, fns, tier, pool):
+    for idx in runs:
         src_hw = tuple(int(x) for x in dataset.shapes[idx[0]][::-1])
         if dataset.rect:
             dst = tuple(dataset.batch_shapes[dataset.batch_index[idx[0]]])

@@ -11,7 +11,6 @@ DDP/NCCL path and its gradient-accumulation workaround (SURVEY.md §2.3).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -45,20 +44,15 @@ def create_train_state(ir, rng, tx, ema: bool = False,
     )
 
 
-def make_train_step(ir, hyp: dict, tx, *, gr: float = 1.0,
-                    compute_dtype=jnp.bfloat16, ema_decay: float = 0.9999,
-                    donate: bool = True, remat_segments: int = 0):
-    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
-    batch: {"v": (B,H,W,3), "l": (B,H,W,3) [dual only], "targets": (B,T,5),
-    "tmask": (B,T)} — images uint8 or float in [0,1].
-    ``remat_segments``: gradient-checkpoint the forward into N segments."""
-    specs = LS.head_specs(ir)
+def _make_update_one(ir, specs, hyp, tx, *, gr, compute_dtype, ema_decay,
+                     remat_segments):
+    """The single optimizer step shared by make_train_step /
+    make_multi_step / make_fused_multi_step — the ONE place the update rule
+    lives (loss, grads, optimizer, EMA, metrics incl. grad_norm), so the
+    three dispatch shapes can never drift apart."""
 
-    def step_fn(state: TrainState, batch: dict, rng):
-        xv = _to_float(batch["v"])
-        xl = _to_float(batch["l"]) if "l" in batch else None
-
+    def update_one(state: TrainState, batch: dict, rng, xv, xl):
         def loss_fn(params):
             raws, new_bn = graph.apply(
                 ir, {"params": params, "state": state.bn_state}, xv, xl,
@@ -77,7 +71,31 @@ def make_train_step(ir, hyp: dict, tx, *, gr: float = 1.0,
             ema = OPT.ema_update(ema, params, ema_decay)
         metrics = {**ld, "loss": total,
                    "grad_norm": optax.global_norm(grads)}
-        return TrainState(params, new_bn, opt_state, state.step + 1, ema), metrics
+        return TrainState(params, new_bn, opt_state, state.step + 1,
+                          ema), metrics
+
+    return update_one
+
+
+def make_train_step(ir, hyp: dict, tx, *, gr: float = 1.0,
+                    compute_dtype=jnp.bfloat16, ema_decay: float = 0.9999,
+                    donate: bool = True, remat_segments: int = 0):
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    batch: {"v": (B,H,W,3), "l": (B,H,W,3) [dual only], "targets": (B,T,5),
+    "tmask": (B,T)} — images uint8 or float in [0,1].
+    ``remat_segments``: gradient-checkpoint the forward into N segments."""
+    specs = LS.head_specs(ir)
+
+    update_one = _make_update_one(ir, specs, hyp, tx, gr=gr,
+                                  compute_dtype=compute_dtype,
+                                  ema_decay=ema_decay,
+                                  remat_segments=remat_segments)
+
+    def step_fn(state: TrainState, batch: dict, rng):
+        xv = _to_float(batch["v"])
+        xl = _to_float(batch["l"]) if "l" in batch else None
+        return update_one(state, batch, rng, xv, xl)
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
@@ -94,30 +112,17 @@ def make_multi_step(ir, hyp: dict, tx, *, gr: float = 1.0,
     flagship bs8 step)."""
     specs = LS.head_specs(ir)
 
+    update_one = _make_update_one(ir, specs, hyp, tx, gr=gr,
+                                  compute_dtype=compute_dtype,
+                                  ema_decay=ema_decay,
+                                  remat_segments=remat_segments)
+
     def one_step(carry, inp):
         state, rng = carry
         batch = inp
         xv = _to_float(batch["v"])
         xl = _to_float(batch["l"]) if "l" in batch else None
-
-        def loss_fn(params):
-            raws, new_bn = graph.apply(
-                ir, {"params": params, "state": state.bn_state}, xv, xl,
-                train=True, rng=rng, compute_dtype=compute_dtype,
-                remat_segments=remat_segments)
-            ld = LS.compute_loss(raws, batch["targets"], batch["tmask"],
-                                 specs, hyp, gr)
-            return LS.total_loss(ld), (ld, new_bn)
-
-        (total, (ld, new_bn)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema = state.ema
-        if ema is not None:
-            ema = OPT.ema_update(ema, params, ema_decay)
-        metrics = {**ld, "loss": total}
-        new_state = TrainState(params, new_bn, opt_state, state.step + 1, ema)
+        new_state, metrics = update_one(state, batch, rng, xv, xl)
         return (new_state, jax.random.fold_in(rng, 1)), metrics
 
     def multi(state: TrainState, batches: dict, rng):
@@ -160,28 +165,13 @@ def make_fused_multi_step(ir, hyp: dict, tx, aug_fn, *, gr: float = 1.0,
     keys)."""
     specs = LS.head_specs(ir)
 
+    update_one = _make_update_one(ir, specs, hyp, tx, gr=gr,
+                                  compute_dtype=compute_dtype,
+                                  ema_decay=ema_decay,
+                                  remat_segments=remat_segments)
+
     def run_one(state: TrainState, rng, batch):
-        xv, xl = batch["v"], batch.get("l")
-
-        def loss_fn(params):
-            raws, new_bn = graph.apply(
-                ir, {"params": params, "state": state.bn_state}, xv, xl,
-                train=True, rng=rng, compute_dtype=compute_dtype,
-                remat_segments=remat_segments)
-            ld = LS.compute_loss(raws, batch["targets"], batch["tmask"],
-                                 specs, hyp, gr)
-            return LS.total_loss(ld), (ld, new_bn)
-
-        (total, (ld, new_bn)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema = state.ema
-        if ema is not None:
-            ema = OPT.ema_update(ema, params, ema_decay)
-        metrics = {**ld, "loss": total}
-        return TrainState(params, new_bn, opt_state, state.step + 1,
-                          ema), metrics
+        return update_one(state, batch, rng, batch["v"], batch.get("l"))
 
     if images_in:
         def multi(state: TrainState, xs: dict, aug_key, rng):

@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..data.pipeline import prefetch, train_batches
+from ..data.pipeline import AUG_STREAM_TAG, prefetch, train_batches
 from ..eval.evaluator import evaluate_dataset
 from ..models import graph
 from ..parallel import mesh as M
@@ -314,13 +314,18 @@ class Trainer:
                 xs = {"b0": M.replicate(jnp.asarray(xs["b0"]), self.mesh),
                       **sharded}
             timer.data_ready()
+            # augment keys ride the tagged stream (pipeline.AUG_STREAM_TAG)
+            # exactly as train_batches derives them, keeping fused ==
+            # unfused bit-for-bit while never colliding with the per-step
+            # model rng fold_in(key, i)
+            akey = jax.random.fold_in(key, AUG_STREAM_TAG)
             if tier == "hbm":
                 self.state, metrics = self._fused_step(
-                    self.state, pool_v, pool_l, xs, key,
+                    self.state, pool_v, pool_l, xs, akey,
                     jax.random.fold_in(key, i))
             else:
                 self.state, metrics = self._fused_step(
-                    self.state, xs, key, jax.random.fold_in(key, i))
+                    self.state, xs, akey, jax.random.fold_in(key, i))
             last = {k: float(np.asarray(v).ravel()[-1])
                     for k, v in metrics.items()}
             timer.step_done()

@@ -371,3 +371,51 @@ def test_mosaic_partners_epoch_wide_uniform(tmp_path):
     assert first_batch_foreign > 0, "first batch drew no outside partner"
     # every image appears as partner/member with non-trivial frequency
     assert min(counts.values()) >= nb * 0.2, counts
+
+
+def test_eval_batches_mixed_shapes(tmp_path):
+    """Mixed-shape datasets stream in homogeneous sub-batches (the
+    docstring's promised fallback; np.stack would crash on a mixed batch
+    and a single letterbox geometry would mis-scale the odd images)."""
+    img_dir = tmp_path / "images" / "set00"
+    lab_dir = tmp_path / "labels" / "set00"
+    img_dir.mkdir(parents=True)
+    lab_dir.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    shapes = [(64, 96), (64, 96), (48, 80), (64, 96), (48, 80), (48, 80)]
+    logical = []
+    for i, (h, w) in enumerate(shapes):
+        v = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        stem = f"M{i:05d}"
+        cv2.imwrite(str(img_dir / f"{stem}_visible.jpg"), v)
+        cv2.imwrite(str(img_dir / f"{stem}_lwir.jpg"), v)
+        (lab_dir / f"{stem}.txt").write_text("0 0.5 0.5 0.25 0.4\n")
+        logical.append(str(img_dir / f"{stem}.jpg"))
+    (tmp_path / "t.txt").write_text("\n".join(logical) + "\n")
+    ds = KaistDataset(str(tmp_path / "t.txt"), 64, 4, rect=False)
+
+    seen = []
+    for v, l, idx, (r, pad) in eval_batches(ds, 4, device_cache=False):
+        # every sub-batch is homogeneous in source shape and letterboxed
+        # to the square img_size
+        srcs = {tuple(ds.shapes[i]) for i in idx}
+        assert len(srcs) == 1
+        assert v.shape[1:3] == (64, 64) and v.shape == l.shape
+        seen.extend(int(i) for i in idx)
+    assert seen == list(range(len(shapes)))
+
+
+def test_train_augment_program_cached_across_epochs(mini_kaist):
+    """train_batches reuses ONE jitted augment program across epochs —
+    a fresh closure per epoch would retrace the heavy program every time."""
+    from double_yolo_kaist_tpu.data import pipeline as P
+
+    ds = KaistDataset(mini_kaist, 64, 4, rect=False, augment=True)
+    P._TRAIN_AUG_CACHE.clear()
+    key = jax.random.PRNGKey(0)
+    for epoch in range(3):
+        for _ in train_batches(ds, 4, jax.random.fold_in(key, epoch),
+                               img_size=64, hyp=HYP, seed_epoch=epoch,
+                               device_cache=False):
+            break
+    assert len(P._TRAIN_AUG_CACHE) == 1

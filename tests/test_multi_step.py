@@ -98,7 +98,7 @@ def test_fused_images_in_matches_pool_variant():
     aug_key, step_rng = jax.random.PRNGKey(3), jax.random.PRNGKey(4)
 
     aug_pool = make_train_augment_fn(src_hw, 64, FULL_HYP, from_pool=True,
-                                     max_targets_per_img=4, jit=False)
+                                     jit=False)
     fused_p = make_fused_multi_step(ir, FULL_HYP, tx, aug_pool,
                                     compute_dtype=jnp.float32)
     s1 = create_train_state(ir, jax.random.PRNGKey(0), tx)
@@ -106,7 +106,7 @@ def test_fused_images_in_matches_pool_variant():
                      aug_key, step_rng)
 
     aug_img = make_train_augment_fn(src_hw, 64, FULL_HYP, from_pool=False,
-                                    max_targets_per_img=4, jit=False)
+                                    jit=False)
     fused_i = make_fused_multi_step(ir, FULL_HYP, tx, aug_img,
                                     compute_dtype=jnp.float32,
                                     images_in=True)
