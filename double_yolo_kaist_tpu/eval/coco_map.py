@@ -80,8 +80,11 @@ def _evaluate_image(dets, scores, gts, area_rng, max_det):
     out_of_rng = (d_area < area_rng[0]) | (d_area > area_rng[1])
     dt_ig = np.zeros((T, D), bool)
     for t in range(T):
+        # dtype=bool: with zero detections the comprehension is empty and
+        # np.array([]) defaults to float64, which cannot be |-ed below
         matched_ignored = np.array(
-            [gt_ignore[m] if m >= 0 else False for m in dt_m[t]])
+            [gt_ignore[m] if m >= 0 else False for m in dt_m[t]],
+            dtype=bool)
         dt_ig[t] = matched_ignored | ((dt_m[t] < 0) & out_of_rng)
     return dt_m >= 0, dt_ig, gt_ignore, scores
 

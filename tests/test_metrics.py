@@ -120,3 +120,18 @@ def test_coco_false_positives_lower_ap():
                    np.asarray([0.6, 0.9]))
     stats = evaluate_coco(pred, gt)
     assert stats[1] < 0.9
+
+
+def test_coco_image_with_zero_detections():
+    """An image where the model produced NO detections must not crash the
+    matcher (empty comprehension -> float64 array -> bitwise_or TypeError;
+    hit in practice by an under-trained model's final-epoch in-train eval)."""
+    gt = {0: np.array([[10.0, 10.0, 40.0, 60.0]]),
+          1: np.array([[5.0, 5.0, 30.0, 50.0]])}
+    pred = {0: (np.zeros((0, 4)), np.zeros((0,))),
+            1: (np.array([[5.0, 5.0, 30.0, 50.0]]), np.array([0.9]))}
+    stats = evaluate_coco(pred, gt)
+    assert stats.shape == (12,)
+    assert np.isfinite(stats[stats >= 0]).all()
+    # the one matched image out of two: AP@0.5 should be ~0.5
+    assert 0.2 <= stats[1] <= 0.8
