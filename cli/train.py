@@ -37,6 +37,10 @@ def main(argv=None):
     p.add_argument("--multi-scale", action="store_true")
     p.add_argument("--sgd", action="store_true")
     p.add_argument("--snow", action="store_true")
+    p.add_argument("--clahe", action="store_true",
+                   help="standalone CLAHE preprocessing (reference "
+                        "kaist_dataset.py clahe option; --snow already "
+                        "includes CLAHE before its cutout)")
     p.add_argument("--ema", action="store_true")
     p.add_argument("--single-cls", type=bool, default=True)
     p.add_argument("--anchor-cluster", action="store_true")
@@ -99,10 +103,11 @@ def main(argv=None):
 
     train_ds = KaistDataset(data_dict["train"], opt.img_size, opt.batch_size,
                             augment=True, hyp=hyp, snowflake=opt.snow,
-                            single_cls=opt.single_cls,
+                            clahe=opt.clahe, single_cls=opt.single_cls,
                             cache_images=opt.cache_images)
     val_ds = KaistDataset(data_dict["valid"], opt.img_size, opt.batch_size,
-                          hyp=hyp, rect=True, single_cls=opt.single_cls)
+                          hyp=hyp, rect=True, clahe=opt.clahe,
+                          single_cls=opt.single_cls)
 
     ir, variables = build_model(opt.cfg, opt.weights, cutoff=opt.cutoff)
     trainer = Trainer(ir, hyp, epochs=opt.epochs, batch_size=opt.batch_size,

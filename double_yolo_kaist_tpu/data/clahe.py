@@ -49,7 +49,14 @@ def clahe_batch(imgs_u8, clip_limit: float = 1.0, grid: int = 4):
     Matches cv2 semantics: tile LUTs + per-pixel bilinear blend of the 4
     nearest tile LUTs with border replication of tile centers."""
     B, H, W, C = imgs_u8.shape
-    assert H % grid == 0 and W % grid == 0, (H, W, grid)
+    if H % grid or W % grid:
+        # cv2 extends non-divisible images to tile multiples with
+        # BORDER_REFLECT_101 and crops after (clahe.cpp); divisible shapes
+        # (all KAIST sizes) take the exact-parity path below unchanged
+        ph, pw = (-H) % grid, (-W) % grid
+        ext = jnp.pad(imgs_u8, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                      mode="reflect")
+        return clahe_batch(ext, clip_limit, grid)[:, :H, :W]
     th, tw = H // grid, W // grid
 
     x = imgs_u8.astype(jnp.int32)

@@ -27,13 +27,19 @@ from ..train.loss import pad_labels
 
 # distinct PRNG stream for augmentation: train_batches folds the epoch key
 # with this tag before the per-batch fold_in(b0), so augment draws never
-# collide with the trainer's per-step fold_in(key, i) model rng.
-# make_fused_multi_step applies the same tag (fused == unfused bit-exact).
+# collide with the trainer's per-step fold_in(key, i) model rng. NB
+# make_fused_multi_step does NOT tag internally — the Trainer folds this
+# tag into the aug_key it passes (trainer._train_one_epoch_fused), which is
+# what keeps fused == unfused bit-exact; direct callers of the fused step
+# must tag their aug_key themselves if they also derive step rng from the
+# same base key.
 AUG_STREAM_TAG = 0x41554721
 
 # jitted train-augment programs, cached across epochs (keyed by everything
-# that changes the traced program — see train_batches)
+# that changes the traced program — see train_batches); bounded so
+# hyp/size sweeps in one process can't pin compiled executables forever
 _TRAIN_AUG_CACHE: dict = {}
+_TRAIN_AUG_CACHE_MAX = 8
 
 
 def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
@@ -533,6 +539,8 @@ def train_batches(dataset, batch_size: int, key, *, img_size,
                os.environ.get("DYK_AUG_DTYPE", ""),
                os.environ.get("DYK_AUG_CHUNK", ""))
         if sig not in _TRAIN_AUG_CACHE:
+            while len(_TRAIN_AUG_CACHE) >= _TRAIN_AUG_CACHE_MAX:
+                _TRAIN_AUG_CACHE.pop(next(iter(_TRAIN_AUG_CACHE)))
             _TRAIN_AUG_CACHE[sig] = make_train_augment_fn(
                 src_hw, s, hyp, snowflake=snowflake, clahe=clahe,
                 epoch_partners=epoch_partners, from_pool=pool is not None)

@@ -76,6 +76,12 @@ class Trainer:
         self.val_dataset = val_dataset
         self.multi_scale = multi_scale
         self.snowflake = snowflake
+        # standalone CLAHE (reference kaist_dataset.py:311-313 `elif
+        # self.clahe`): follow the dataset's flag so a clahe-configured
+        # dataset trains AND evaluates with it — eval already reads
+        # dataset.clahe, and skipping it at train time would skew the
+        # train/eval input distributions
+        self.clahe = bool(getattr(train_dataset, "clahe", False))
         # None: auto (pool the dataset's u8 pairs in HBM when they fit the
         # DYK_DEVICE_CACHE_GB budget); True/False force. The pool removes
         # per-batch image upload (crucial on slow host links) but co-resides
@@ -207,7 +213,7 @@ class Trainer:
         batches = prefetch(train_batches(
             self.train_dataset, self.batch_size, key,
             img_size=sizes, hyp=self.hyp,
-            snowflake=self.snowflake, seed_epoch=epoch,
+            snowflake=self.snowflake, clahe=self.clahe, seed_epoch=epoch,
             device_cache=self.device_cache))
         if self.steps_per_dispatch > 1:
             batches = _group_batches(batches, self.steps_per_dispatch)
@@ -252,7 +258,7 @@ class Trainer:
             src_hw = tuple(int(x) for x in ds.shapes[0][::-1])
             aug = make_train_augment_fn(
                 src_hw, self.img_size, self.hyp, snowflake=self.snowflake,
-                from_pool=tier == "hbm", jit=False)
+                clahe=self.clahe, from_pool=tier == "hbm", jit=False)
             from .step import make_fused_multi_step
             self._fused_step = make_fused_multi_step(
                 self.ir, self.hyp, self.tx, aug,
@@ -298,6 +304,11 @@ class Trainer:
         logger = MetricLogger(print_freq=print_freq)
         timer = StepTimer()
         last = {}
+        # augment keys ride the tagged stream (pipeline.AUG_STREAM_TAG)
+        # exactly as train_batches derives them, keeping fused == unfused
+        # bit-for-bit while never colliding with the per-step model rng
+        # fold_in(key, i); loop-invariant, derived once per epoch
+        akey = jax.random.fold_in(key, AUG_STREAM_TAG)
         for i, (xs, idx) in logger.log_every(groups(), f"epoch {epoch}"):
             if tier != "hbm":
                 # one two-stream pinned-host gather for the whole dispatch,
@@ -314,11 +325,6 @@ class Trainer:
                 xs = {"b0": M.replicate(jnp.asarray(xs["b0"]), self.mesh),
                       **sharded}
             timer.data_ready()
-            # augment keys ride the tagged stream (pipeline.AUG_STREAM_TAG)
-            # exactly as train_batches derives them, keeping fused ==
-            # unfused bit-for-bit while never colliding with the per-step
-            # model rng fold_in(key, i)
-            akey = jax.random.fold_in(key, AUG_STREAM_TAG)
             if tier == "hbm":
                 self.state, metrics = self._fused_step(
                     self.state, pool_v, pool_l, xs, akey,

@@ -195,3 +195,23 @@ def test_letterbox_labels():
     # cx*200*0.5 = 50, w*200*0.5 = 50 -> x1 = 50-25+10 = 35, x2 = 85
     # cy*100*0.5 = 25, h*100*0.5 = 12.5 -> y1 = 25-6.25+20, y2 = +12.5
     np.testing.assert_allclose(out[0], [0, 35, 38.75, 85, 51.25], atol=1e-4)
+
+
+def test_clahe_non_divisible_shape_matches_cv2():
+    """Non-tile-divisible shapes follow cv2's reflect-extend-then-crop rule
+    (cv2 CLAHE handles arbitrary sizes; KAIST shapes stay on the exact
+    divisible path)."""
+    import cv2
+
+    from double_yolo_kaist_tpu.data.clahe import clahe_batch
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (42, 63, 3), dtype=np.uint8)
+    ours = np.asarray(clahe_batch(jnp.asarray(img[None]))[0])
+    cl = cv2.createCLAHE(clipLimit=1.0, tileGridSize=(4, 4))
+    ref = np.stack([cl.apply(img[..., c]) for c in range(3)], -1)
+    # cv2 extends with BORDER_REFLECT_101 (mirror w/o edge repeat); jnp's
+    # "reflect" matches; allow tiny LUT-rounding differences at the border
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    assert np.mean(diff) < 1.0, np.mean(diff)
+    assert np.quantile(diff, 0.99) <= 2, np.quantile(diff, 0.99)

@@ -419,3 +419,39 @@ def test_train_augment_program_cached_across_epochs(mini_kaist):
                                device_cache=False):
             break
     assert len(P._TRAIN_AUG_CACHE) == 1
+
+
+def test_standalone_clahe_reaches_training(mini_kaist):
+    """dataset.clahe=True must change the TRAIN augment output (reference
+    kaist_dataset.py:311-313 'elif self.clahe'), and the Trainer follows
+    the dataset's flag so train and eval distributions agree."""
+    from double_yolo_kaist_tpu.data.pipeline import make_train_augment_fn
+    from double_yolo_kaist_tpu.train.trainer import Trainer
+    from double_yolo_kaist_tpu.config.ir import compile_cfg as _cc
+
+    src_hw = (H0, W0)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.integers(0, 256, (4, H0, W0, 3), np.uint8))
+    lab = np.zeros((4, 2, 5), np.float32)
+    lab[:, 0] = [0, 0.5, 0.5, 0.25, 0.4]
+    labels = jnp.asarray(lab)
+    lmask = jnp.asarray(np.array([[True, False]] * 4))
+    key = jax.random.PRNGKey(0)
+    f0 = make_train_augment_fn(src_hw, 64, HYP, epoch_partners=False)
+    f1 = make_train_augment_fn(src_hw, 64, HYP, clahe=True,
+                               epoch_partners=False)
+    b0 = f0(key, v, v, labels, lmask)
+    b1 = f1(key, v, v, labels, lmask)
+    assert not np.allclose(np.asarray(b0["v"]), np.asarray(b1["v"]))
+    # same geometry/randomness: targets identical, only pixels differ
+    np.testing.assert_allclose(np.asarray(b0["targets"]),
+                               np.asarray(b1["targets"]))
+
+    ir = _cc(os.path.join(os.path.dirname(__file__), "fixtures",
+                          "tiny_dyolov3.cfg"), yolo_strides=[8, 4])
+    ds = KaistDataset(mini_kaist, 64, 4, augment=True, hyp=HYP, clahe=True)
+    thyp = {**HYP, "lr0": 1e-3, "lrf": 0.1}
+    tr = Trainer(ir, thyp, epochs=1, batch_size=4, img_size=64,
+                 train_dataset=ds, out_dir="/tmp/clahe_tr",
+                 data_parallel=False)
+    assert tr.clahe is True
