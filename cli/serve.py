@@ -78,8 +78,12 @@ def make_handler(predictor, model_name: str):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--cfg", type=str, required=True)
+    p.add_argument("--cfg", type=str, default="")
     p.add_argument("--weights", type=str, default="")
+    p.add_argument("--exported", type=str, default="",
+                   help="serve a one-file AOT artifact (.dykx from "
+                        "tools/export_model.py) — no cfg/weights/model "
+                        "code; frames must match its compiled src_hw")
     p.add_argument("--img-size", type=int, default=512)
     p.add_argument("--conf-thres", type=float, default=0.1)
     p.add_argument("--int8", action="store_true",
@@ -118,6 +122,26 @@ def main(argv=None):
                    help="native frame size to precompile for "
                         "(default: KAIST 512 640 scaled to --img-size)")
     opt = p.parse_args(argv)
+
+    if opt.exported:
+        from double_yolo_kaist_tpu.export import ExportedPredictor
+
+        predictor = ExportedPredictor(opt.exported)
+        if not opt.no_warmup:
+            t0 = time.perf_counter()
+            predictor.warmup()
+            print(f"# warmup {predictor.src_hw} compiled in "
+                  f"{time.perf_counter() - t0:.1f}s", flush=True)
+        server = ThreadingHTTPServer(
+            (opt.host, opt.port),
+            make_handler(predictor, os.path.basename(opt.exported)))
+        print(f"serving exported artifact on http://{opt.host}:{opt.port}",
+              flush=True)
+        server.serve_forever()
+        return
+
+    if not opt.cfg:
+        raise SystemExit("--cfg is required (or pass --exported)")
 
     from double_yolo_kaist_tpu.serving import Predictor
 
