@@ -126,7 +126,31 @@ def main(argv=None):
     if opt.exported:
         from double_yolo_kaist_tpu.export import ExportedPredictor
 
+        # everything about an exported artifact is baked in at export time;
+        # flags that would silently change behavior are errors, cosmetic
+        # ones get a visible ignore warning (values compared to defaults)
+        if opt.int8 or opt.dp:
+            raise SystemExit(
+                "--exported bakes precision and replica layout into the "
+                "artifact: re-export with tools/export_model.py --int8 "
+                "for int8, and scale out by running one server per chip "
+                "instead of --dp")
+        ignored = [name for name, val, dflt in (
+            ("--cfg", opt.cfg, ""), ("--weights", opt.weights, ""),
+            ("--conf-thres", opt.conf_thres, 0.1),
+            ("--img-size", opt.img_size, 512),
+            ("--int8-calib", opt.int8_calib, ""),
+            ("--int8-qvars", opt.int8_qvars, ""),
+            ("--warmup-hw", opt.warmup_hw, None)) if val != dflt]
+        if ignored:
+            print(f"# --exported: ignoring {', '.join(ignored)} (baked "
+                  f"into the artifact at export time)", flush=True)
         predictor = ExportedPredictor(opt.exported)
+        if predictor.batch > 1:
+            print(f"# note: artifact compiled for batch {predictor.batch}; "
+                  f"this server issues single-frame requests, each padded "
+                  f"to {predictor.batch} — export with --batch 1 for "
+                  f"lowest per-request latency", flush=True)
         if not opt.no_warmup:
             t0 = time.perf_counter()
             predictor.warmup()

@@ -62,6 +62,14 @@ def _flatten(tree, prefix=""):
             empties.extend(e)
     elif tree is None:
         empties.append("N" + prefix[:-1])
+    elif isinstance(tree, (list, tuple)):
+        # fail loudly at export time: a stacked ndarray would silently
+        # diverge from the exported program's in_tree (pytree mismatch at
+        # serve time with no key name attached)
+        raise TypeError(
+            f"variable tree contains a {type(tree).__name__} at "
+            f"{prefix[:-1]!r}; exported trees must be nested dicts of "
+            f"arrays")
     else:
         out[prefix[:-1]] = np.asarray(tree)
     return out, empties
@@ -111,6 +119,29 @@ def _tree_from_npz_bytes(data: bytes) -> dict:
     return tree
 
 
+# ---------------------------------------------------------- letterbox undo
+
+def unpack_detections(det, valid, real, ratio: float, pad, src_hw):
+    """Packed (B, max_det, 6) detections + valid mask -> per-image
+    (boxes xyxy in the ORIGINAL frame, scores, classes) for the first
+    ``real`` images. The letterbox undo (pad subtract, ratio divide, frame
+    clip) lives HERE ONCE and is shared by serving.Predictor and
+    ExportedPredictor, so live servers and exported artifacts cannot
+    diverge (reference utils.scale_coords semantics)."""
+    out = []
+    for i in range(real):
+        d = det[i][valid[i]]
+        boxes = d[:, :4].copy()
+        if len(boxes):
+            boxes[:, [0, 2]] -= pad[0]
+            boxes[:, [1, 3]] -= pad[1]
+            boxes /= ratio
+            boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, src_hw[1])
+            boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, src_hw[0])
+        out.append((boxes, d[:, 4], d[:, 5].astype(int)))
+    return out
+
+
 # ------------------------------------------------------------------ export
 
 def export_serving_artifact(predictor, src_hw, batch: int, out_path: str,
@@ -153,16 +184,23 @@ def export_serving_artifact(predictor, src_hw, batch: int, out_path: str,
         candidates = [("tpu", "cpu"), None]  # None = current backend only
     else:
         candidates = [tuple(platforms)]
-    exp = err = None
+    exp, errors = None, []
     for plats in candidates:
         try:
             exp = jax.export.export(jax.jit(run), platforms=plats)(
                 p_spec, img_spec, img_spec)
             break
         except Exception as e:  # noqa: BLE001 — fall back, then re-raise
-            err = e
+            errors.append((plats, e))
+            import sys as _sys
+            print(f"# export: lowering for platforms={plats} failed "
+                  f"({type(e).__name__}: {e}); falling back",
+                  file=_sys.stderr, flush=True)
     if exp is None:
-        raise RuntimeError(f"jax.export lowering failed: {err}") from err
+        detail = "; ".join(f"{p}: {type(e).__name__}: {e}"
+                           for p, e in errors)
+        raise RuntimeError(
+            f"jax.export lowering failed: {detail}") from errors[-1][1]
 
     meta = {
         "format_version": FORMAT_VERSION,
@@ -208,11 +246,17 @@ class ExportedPredictor:
             self.variables = jax.tree.map(
                 jnp.asarray, _tree_from_npz_bytes(zf.read(_VARIABLES)))
         backend = jax.default_backend()
-        if backend not in exp.platforms:
+        # jax.default_backend() says 'gpu' where export platform names are
+        # 'cuda'/'rocm' — accept either spelling
+        aliases = {"gpu": ("cuda", "rocm")}.get(backend, ())
+        ok = (backend in exp.platforms
+              or any(a in exp.platforms for a in aliases))
+        if not ok:
+            wanted = aliases[0] if aliases else backend
             raise ValueError(
                 f"{path} was lowered for {list(exp.platforms)}; this host's "
                 f"backend is {backend!r} — re-export with platforms="
-                f"('{backend}', ...)")
+                f"('{wanted}', ...)")
         self.src_hw = tuple(self.meta["src_hw"])
         self.batch = int(self.meta["batch"])
         self._ratio = float(self.meta["ratio"])
@@ -253,16 +297,6 @@ class ExportedPredictor:
                                           jnp.asarray(chunk_v),
                                           jnp.asarray(chunk_l)))
             det, valid = packed[..., :6], packed[..., 6] > 0.5
-            for i in range(real):
-                d = det[i][valid[i]]
-                boxes = d[:, :4].copy()
-                if len(boxes):
-                    boxes[:, [0, 2]] -= self._pad[0]
-                    boxes[:, [1, 3]] -= self._pad[1]
-                    boxes /= self._ratio
-                    boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(
-                        0, self.src_hw[1])
-                    boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(
-                        0, self.src_hw[0])
-                out.append((boxes, d[:, 4], d[:, 5].astype(int)))
+            out.extend(unpack_detections(det, valid, real, self._ratio,
+                                         self._pad, self.src_hw))
         return out

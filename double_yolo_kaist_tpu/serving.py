@@ -294,14 +294,7 @@ class Predictor:
                 packed = np.asarray(self._full_program(src_hw, quant)(
                     params, jnp.asarray(chunk_v), jnp.asarray(chunk_l)))
                 det, valid = packed[..., :6], packed[..., 6] > 0.5
-            for i in range(real):
-                d = det[i][valid[i]]
-                boxes = d[:, :4].copy()
-                if len(boxes):
-                    boxes[:, [0, 2]] -= pad[0]
-                    boxes[:, [1, 3]] -= pad[1]
-                    boxes /= ratio[0]
-                    boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, src_hw[1])
-                    boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, src_hw[0])
-                out.append((boxes, d[:, 4], d[:, 5].astype(int)))
+            from .export import unpack_detections
+            out.extend(unpack_detections(det, valid, real, ratio[0], pad,
+                                         src_hw))
         return out
