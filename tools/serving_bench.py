@@ -33,22 +33,39 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--n", type=int, default=10, help="timed batches")
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--exported", default="",
+                    help="time a .dykx AOT artifact (tools/export_model.py) "
+                         "instead of a live Predictor; --batch must match "
+                         "the artifact's compiled batch")
     args = ap.parse_args()
 
     import jax
 
-    ir = compile_cfg(cfg_path(args.model))
-    variables = jax.jit(lambda k: graph.init(ir, k))(jax.random.PRNGKey(0))
-    pred = Predictor(ir, variables, img_size=512,
-                     batch_buckets=(args.batch,), int8=args.int8,
-                     calibration_batches=1)
+    if args.exported:
+        from double_yolo_kaist_tpu.export import ExportedPredictor
+
+        pred = ExportedPredictor(args.exported)
+        if (args.batch, tuple(pred.src_hw)) != (pred.batch, (512, 640)):
+            print(f"# artifact: batch {pred.batch}, src_hw {pred.src_hw}",
+                  flush=True)
+        args.batch = pred.batch
+        h, w = pred.src_hw
+        args.model = os.path.basename(args.exported)
+    else:
+        h, w = 512, 640
+        ir = compile_cfg(cfg_path(args.model))
+        variables = jax.jit(
+            lambda k: graph.init(ir, k))(jax.random.PRNGKey(0))
+        pred = Predictor(ir, variables, img_size=512,
+                         batch_buckets=(args.batch,), int8=args.int8,
+                         calibration_batches=1)
 
     rng = np.random.default_rng(0)
-    v = rng.integers(0, 255, (args.batch, 512, 640, 3), dtype=np.uint8)
-    l = rng.integers(0, 255, (args.batch, 512, 640, 3), dtype=np.uint8)
+    v = rng.integers(0, 255, (args.batch, h, w, 3), dtype=np.uint8)
+    l = rng.integers(0, 255, (args.batch, h, w, 3), dtype=np.uint8)
 
     out = pred(v, l)                       # compile + warm (+ int8 calib)
-    while args.int8 and pred._qvars is None:
+    while args.int8 and not args.exported and pred._qvars is None:
         out = pred(v, l)                   # finish calibration
     out = pred(v, l)                       # warm the final program
     t0 = time.perf_counter()
@@ -57,7 +74,10 @@ def main():
     dt = (time.perf_counter() - t0) / args.n
     assert len(out) == args.batch
     fps = args.batch / dt
-    mode = "int8" if args.int8 else "bf16"
+    if args.exported:
+        mode = ("int8" if pred.meta.get("int8") else "bf16") + " exported"
+    else:
+        mode = "int8" if args.int8 else "bf16"
     print(f"serving e2e ({args.model}, {mode}, bs{args.batch}): "
           f"{dt * 1e3:.1f} ms/batch = {fps:.1f} img/s "
           f"(decode excluded; letterbox+forward+NMS+fetch included)")
