@@ -202,8 +202,16 @@ def export_serving_artifact(predictor, src_hw, batch: int, out_path: str,
         raise RuntimeError(
             f"jax.export lowering failed: {detail}") from errors[-1][1]
 
+    import hashlib
+
+    program_bytes = bytes(exp.serialize())
+    var_bytes = _tree_to_npz_bytes(params)
     meta = {
         "format_version": FORMAT_VERSION,
+        "sha256": {
+            "program": hashlib.sha256(program_bytes).hexdigest(),
+            "variables": hashlib.sha256(var_bytes).hexdigest(),
+        },
         "platforms": list(exp.platforms),
         "src_hw": list(src_hw),
         "batch": int(batch),
@@ -217,8 +225,8 @@ def export_serving_artifact(predictor, src_hw, batch: int, out_path: str,
     }
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr(_META, json.dumps(meta, indent=1))
-        zf.writestr(_PROGRAM, bytes(exp.serialize()))
-        zf.writestr(_VARIABLES, _tree_to_npz_bytes(params),
+        zf.writestr(_PROGRAM, program_bytes)
+        zf.writestr(_VARIABLES, var_bytes,
                     compress_type=zipfile.ZIP_STORED)
     return meta
 
@@ -236,15 +244,29 @@ class ExportedPredictor:
     padding scheme the live Predictor uses)."""
 
     def __init__(self, path: str):
+        import hashlib
+
         with zipfile.ZipFile(path) as zf:
             self.meta = json.loads(zf.read(_META).decode())
             if self.meta.get("format_version", 0) > FORMAT_VERSION:
                 raise ValueError(
                     f"{path}: format_version {self.meta['format_version']} "
                     f"is newer than this loader ({FORMAT_VERSION})")
-            exp = jax.export.deserialize(bytearray(zf.read(_PROGRAM)))
+            program_bytes = zf.read(_PROGRAM)
+            var_bytes = zf.read(_VARIABLES)
+            digests = self.meta.get("sha256", {})
+            for name, blob in (("program", program_bytes),
+                               ("variables", var_bytes)):
+                want = digests.get(name)
+                got = hashlib.sha256(blob).hexdigest()
+                if want is not None and want != got:
+                    raise ValueError(
+                        f"{path}: {name} sha256 mismatch (artifact corrupt "
+                        f"or tampered): recorded {want[:12]}…, got "
+                        f"{got[:12]}…")
+            exp = jax.export.deserialize(bytearray(program_bytes))
             self.variables = jax.tree.map(
-                jnp.asarray, _tree_from_npz_bytes(zf.read(_VARIABLES)))
+                jnp.asarray, _tree_from_npz_bytes(var_bytes))
         backend = jax.default_backend()
         # jax.default_backend() says 'gpu' where export platform names are
         # 'cuda'/'rocm' — accept either spelling

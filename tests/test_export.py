@@ -118,3 +118,23 @@ def test_export_cli_tool(tmp_path):
     v, l = _frames(1, seed=5)
     out1 = loaded(v, l)
     assert len(out1) == 1
+
+
+def test_export_integrity_check(tmp_path):
+    """A flipped byte in the variables blob must be caught at load."""
+    import zipfile
+
+    pred = _tiny_predictor()
+    path = str(tmp_path / "tiny.dykx")
+    export_serving_artifact(pred, SRC_HW, 2, path)
+    with zipfile.ZipFile(path) as zf:
+        members = {n: zf.read(n) for n in zf.namelist()}
+    blob = bytearray(members["variables.npz"])
+    blob[len(blob) // 2] ^= 0xFF
+    members["variables.npz"] = bytes(blob)
+    bad = str(tmp_path / "bad.dykx")
+    with zipfile.ZipFile(bad, "w") as zf:
+        for n, b in members.items():
+            zf.writestr(n, b)
+    with pytest.raises(ValueError, match="sha256 mismatch"):
+        ExportedPredictor(bad)
