@@ -74,3 +74,77 @@ def test_bad_request(server):
     except urllib.error.HTTPError as e:
         raised = e.code == 400
     assert raised
+
+
+EXPORT_PORT = 8398
+
+
+@pytest.fixture(scope="module")
+def exported_server(tmp_path_factory):
+    """Export a tiny .dykx artifact, then serve it via --exported."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REPO)
+    from double_yolo_kaist_tpu.config.ir import compile_cfg
+    from double_yolo_kaist_tpu.export import export_serving_artifact
+    from double_yolo_kaist_tpu.models import graph
+    from double_yolo_kaist_tpu.serving import Predictor
+
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    pred = Predictor(ir, variables, img_size=64, conf_thres=0.005,
+                     batch_buckets=(1,), compute_dtype=jnp.float32)
+    path = str(tmp_path_factory.mktemp("dykx") / "tiny.dykx")
+    export_serving_artifact(pred, (96, 128), 1, path)
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "cli", "serve.py"),
+         "--exported", path, "--port", str(EXPORT_PORT)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{EXPORT_PORT}/healthz",
+                    timeout=2) as r:
+                if json.loads(r.read())["status"] == "ok":
+                    break
+        except OSError:
+            if proc.poll() is not None:
+                raise RuntimeError(proc.stdout.read())
+            time.sleep(1)
+    else:
+        proc.kill()
+        raise TimeoutError("exported server did not come up")
+    yield proc
+    proc.kill()
+
+
+def test_exported_detect_endpoint(exported_server):
+    """cli/serve.py --exported: the artifact answers /detect with the same
+    contract as the live-model server (frames at the exported src_hw)."""
+    rng = np.random.default_rng(1)
+    v = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    body = json.dumps({"visible": _b64_jpg(v), "lwir": _b64_jpg(v)}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{EXPORT_PORT}/detect", data=body,
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        out = json.loads(r.read())
+    assert set(out) == {"boxes", "scores", "classes"}
+    assert len(out["boxes"]) == len(out["scores"]) == len(out["classes"])
+    for b in out["boxes"]:
+        assert 0 <= b[0] <= 128 and 0 <= b[1] <= 96
+
+
+def test_exported_rejects_conflicting_flags():
+    """--exported with --dp/--int8 must exit with the baked-in error."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli", "serve.py"),
+         "--exported", "whatever.dykx", "--dp", "-1"],
+        capture_output=True, text=True, timeout=120,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert proc.returncode != 0
+    assert "bakes precision and replica layout" in proc.stderr
