@@ -151,11 +151,23 @@ class Predictor:
                         f"quantized artifact {self._q_path} was built for "
                         f"mode={qmode!r}, server requested {int8_mode!r}")
                 if qhw is not None and qhw != (img_size, img_size):
-                    raise ValueError(
-                        f"quantized artifact {self._q_path} prepared for "
-                        f"hw={qhw}, server img_size={img_size} — its s2d "
-                        f"kernels would silently fall back to per-call "
-                        f"transforms; re-export with tools/calibrate.py")
+                    # hw names the prepare size; for seed/chain/all the only
+                    # hw-dependence is the s2d plan the kernels were
+                    # transformed for (quantize.py), so an artifact prepared
+                    # at a different size is fully valid whenever the plans
+                    # agree (they are shape-stable across standard serving
+                    # sizes — e.g. bench.py's 512x640 artifacts serve an
+                    # img_size=512 server). edge plans are hw-derived, so
+                    # they keep the strict check.
+                    if (int8_mode == "edge"
+                            or graph.s2d_plan(self.ir, *qhw)
+                            != graph.s2d_plan(self.ir, img_size, img_size)):
+                        raise ValueError(
+                            f"quantized artifact {self._q_path} prepared "
+                            f"for hw={qhw}, server img_size={img_size}, "
+                            f"and the s2d plans differ — its kernels would "
+                            f"silently fall back to per-call transforms; "
+                            f"re-export with tools/calibrate.py")
                 qv = jax.tree.map(jnp.asarray, qv)
                 self._qvars = (jax.device_put(qv, self._rep)
                                if self._rep is not None else qv)

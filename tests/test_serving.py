@@ -200,3 +200,45 @@ def test_int8_empty_plan_downgrades_to_bf16():
     dets = pred(np.stack([img, img]), np.stack([img, img]))
     assert len(dets) == 2
     assert not pred._cal_batches
+
+
+def test_quantized_artifact_rect_hw_accepted(tmp_path):
+    """A quantized artifact prepared at a rect hw (e.g. bench.py's 512x640
+    cache) serves on a square-img_size server whenever the s2d plans agree
+    — the relaxed check in Predictor.__init__ (plan equality is the only
+    hw-dependence of seed/chain/all artifacts, quantize.py)."""
+    from double_yolo_kaist_tpu.models import quantize as Q
+
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    folded = graph.fold_batchnorm(ir, variables)
+    rng = np.random.default_rng(0)
+    cal = jnp.asarray(rng.random((2, 64, 64, 3), np.float32))
+    stats = Q.calibrate(ir, folded, [(cal, cal)],
+                        compute_dtype=jnp.float32)
+    qv = Q.quantize(ir, folded, stats, mode="chain", hw=(64, 96))
+    qpath = str(tmp_path / "rect_q.npz")
+    Q.save_quantized(qpath, qv, mode="chain", hw=(64, 96))
+
+    pred = Predictor(ir, variables, img_size=64, conf_thres=0.005,
+                     batch_buckets=(2,), compute_dtype=jnp.float32,
+                     int8=True, quantized=qpath)
+    if pred._int8:                      # empty-plan models downgrade
+        assert pred._qvars is not None  # loaded despite hw != (64, 64)
+    imgs = rng.integers(0, 256, (2, 96, 128, 3), dtype=np.uint8)
+    out = pred(imgs, imgs)
+    assert len(out) == 2
+
+
+def test_flagship_s2d_plan_stable_across_serving_shapes():
+    """The flagship's s2d plan is identical at (512,512) (Predictor
+    prepare), (448,512) (KAIST frames letterboxed to img_size 512) and
+    (512,640) (bench/eval rect) — the property the relaxed artifact-hw
+    check and the serving prepare path both rely on."""
+    from double_yolo_kaist_tpu.models.zoo import cfg_path
+
+    ir = compile_cfg(cfg_path("Double-YOLOv4-Fshare-Global-CSE3"))
+    base = graph.s2d_plan(ir, 512, 512)
+    assert base == graph.s2d_plan(ir, 448, 512)
+    assert base == graph.s2d_plan(ir, 512, 640)
+    assert len(base) > 0
