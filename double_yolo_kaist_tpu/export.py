@@ -254,16 +254,25 @@ class ExportedPredictor:
                     f"is newer than this loader ({FORMAT_VERSION})")
             program_bytes = zf.read(_PROGRAM)
             var_bytes = zf.read(_VARIABLES)
-            digests = self.meta.get("sha256", {})
+            # format v1 always records digests; their absence means the
+            # meta was rewritten without them, which is exactly the
+            # repackaging mistake this check exists to catch. (This is an
+            # integrity check against corruption/botched repackaging, not
+            # an authenticity check — meta.json itself is unauthenticated.)
+            digests = self.meta.get("sha256")
+            if digests is None:
+                raise ValueError(
+                    f"{path}: meta.json has no sha256 digests — artifact "
+                    f"was repackaged incorrectly; re-export it")
             for name, blob in (("program", program_bytes),
                                ("variables", var_bytes)):
                 want = digests.get(name)
                 got = hashlib.sha256(blob).hexdigest()
-                if want is not None and want != got:
+                if want != got:
                     raise ValueError(
                         f"{path}: {name} sha256 mismatch (artifact corrupt "
-                        f"or tampered): recorded {want[:12]}…, got "
-                        f"{got[:12]}…")
+                        f"or repackaged without updating meta.json): "
+                        f"recorded {str(want)[:12]}…, got {got[:12]}…")
             exp = jax.export.deserialize(bytearray(program_bytes))
             self.variables = jax.tree.map(
                 jnp.asarray, _tree_from_npz_bytes(var_bytes))

@@ -150,17 +150,25 @@ class Predictor:
                     raise ValueError(
                         f"quantized artifact {self._q_path} was built for "
                         f"mode={qmode!r}, server requested {int8_mode!r}")
-                if qhw is not None and qhw != (img_size, img_size):
+                if (qhw is not None and qhw != (img_size, img_size)
+                        and graph._S2D_REGION):
                     # hw names the prepare size; for seed/chain/all the only
                     # hw-dependence is the s2d plan the kernels were
                     # transformed for (quantize.py), so an artifact prepared
                     # at a different size is fully valid whenever the plans
                     # agree (they are shape-stable across standard serving
                     # sizes — e.g. bench.py's 512x640 artifacts serve an
-                    # img_size=512 server). edge plans are hw-derived, so
-                    # they keep the strict check.
-                    if (int8_mode == "edge"
-                            or graph.s2d_plan(self.ir, *qhw)
+                    # img_size=512 server). With DYK_S2D_REGION=0 nothing
+                    # hw-dependent is consulted, so any hw is fine. edge
+                    # plans are hw-derived, so they keep the strict check.
+                    if int8_mode == "edge":
+                        raise ValueError(
+                            f"quantized artifact {self._q_path} prepared "
+                            f"for hw={qhw}, server img_size={img_size}: "
+                            f"edge-mode plans are derived from the prepare "
+                            f"size, so edge artifacts require an exact "
+                            f"match — re-export with tools/calibrate.py")
+                    if (graph.s2d_plan(self.ir, *qhw)
                             != graph.s2d_plan(self.ir, img_size, img_size)):
                         raise ValueError(
                             f"quantized artifact {self._q_path} prepared "

@@ -3,6 +3,7 @@
 import base64
 import json
 import os
+import socket
 import subprocess
 import sys
 import time
@@ -14,69 +15,46 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TINY = os.path.join(REPO, "tests", "fixtures", "tiny_dyolov3.cfg")
-PORT = 8399
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _spawn_server(extra_argv, timeout=180):
+    """Launch cli/serve.py on a free port; poll /healthz until live.
+    Returns (proc, port); caller kills proc."""
+    port = _free_port()
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "cli", "serve.py"),
+         *extra_argv, "--port", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=2) as r:
+                if json.loads(r.read()).get("status") == "ok":
+                    return proc, port
+        except (OSError, ValueError, KeyError):
+            if proc.poll() is not None:
+                raise RuntimeError(proc.stdout.read())
+        time.sleep(1)
+    proc.kill()
+    raise TimeoutError("server did not come up")
 
 
 @pytest.fixture(scope="module")
 def server():
-    proc = subprocess.Popen(
-        [sys.executable, os.path.join(REPO, "cli", "serve.py"),
-         "--cfg", TINY, "--img-size", "64", "--conf-thres", "0.005",
-         "--port", str(PORT)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"})
-    deadline = time.time() + 120
-    while time.time() < deadline:
-        try:
-            with urllib.request.urlopen(
-                    f"http://127.0.0.1:{PORT}/healthz", timeout=2) as r:
-                if json.loads(r.read())["status"] == "ok":
-                    break
-        except OSError:
-            if proc.poll() is not None:
-                raise RuntimeError(proc.stdout.read())
-            time.sleep(1)
-    else:
-        proc.kill()
-        raise TimeoutError("server did not come up")
-    yield proc
+    proc, port = _spawn_server(["--cfg", TINY, "--img-size", "64",
+                                "--conf-thres", "0.005"], timeout=120)
+    yield port
     proc.kill()
-
-
-def _b64_jpg(img):
-    ok, buf = cv2.imencode(".jpg", img)
-    assert ok
-    return base64.b64encode(buf.tobytes()).decode()
-
-
-def test_detect_endpoint(server):
-    rng = np.random.default_rng(0)
-    v = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
-    body = json.dumps({"visible": _b64_jpg(v), "lwir": _b64_jpg(v)}).encode()
-    req = urllib.request.Request(
-        f"http://127.0.0.1:{PORT}/detect", data=body,
-        headers={"Content-Type": "application/json"})
-    with urllib.request.urlopen(req, timeout=120) as r:
-        out = json.loads(r.read())
-    assert set(out) == {"boxes", "scores", "classes"}
-    assert len(out["boxes"]) == len(out["scores"]) == len(out["classes"])
-    for b in out["boxes"]:
-        assert 0 <= b[0] <= 128 and 0 <= b[1] <= 96
-
-
-def test_bad_request(server):
-    req = urllib.request.Request(
-        f"http://127.0.0.1:{PORT}/detect", data=b"not json",
-        headers={"Content-Type": "application/json"})
-    try:
-        urllib.request.urlopen(req, timeout=30)
-        raised = False
-    except urllib.error.HTTPError as e:
-        raised = e.code == 400
-    assert raised
-
-
-EXPORT_PORT = 8398
 
 
 @pytest.fixture(scope="module")
@@ -98,28 +76,46 @@ def exported_server(tmp_path_factory):
     path = str(tmp_path_factory.mktemp("dykx") / "tiny.dykx")
     export_serving_artifact(pred, (96, 128), 1, path)
 
-    proc = subprocess.Popen(
-        [sys.executable, os.path.join(REPO, "cli", "serve.py"),
-         "--exported", path, "--port", str(EXPORT_PORT)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"})
-    deadline = time.time() + 180
-    while time.time() < deadline:
-        try:
-            with urllib.request.urlopen(
-                    f"http://127.0.0.1:{EXPORT_PORT}/healthz",
-                    timeout=2) as r:
-                if json.loads(r.read())["status"] == "ok":
-                    break
-        except OSError:
-            if proc.poll() is not None:
-                raise RuntimeError(proc.stdout.read())
-            time.sleep(1)
-    else:
-        proc.kill()
-        raise TimeoutError("exported server did not come up")
-    yield proc
+    proc, port = _spawn_server(["--exported", path])
+    yield port
     proc.kill()
+
+
+def _b64_jpg(img):
+    ok, buf = cv2.imencode(".jpg", img)
+    assert ok
+    return base64.b64encode(buf.tobytes()).decode()
+
+
+def _detect(port, v, timeout=120):
+    body = json.dumps({"visible": _b64_jpg(v), "lwir": _b64_jpg(v)}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/detect", data=body,
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def test_detect_endpoint(server):
+    rng = np.random.default_rng(0)
+    v = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    out = _detect(server, v)
+    assert set(out) == {"boxes", "scores", "classes"}
+    assert len(out["boxes"]) == len(out["scores"]) == len(out["classes"])
+    for b in out["boxes"]:
+        assert 0 <= b[0] <= 128 and 0 <= b[1] <= 96
+
+
+def test_bad_request(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server}/detect", data=b"not json",
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
 
 
 def test_exported_detect_endpoint(exported_server):
@@ -127,12 +123,7 @@ def test_exported_detect_endpoint(exported_server):
     contract as the live-model server (frames at the exported src_hw)."""
     rng = np.random.default_rng(1)
     v = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
-    body = json.dumps({"visible": _b64_jpg(v), "lwir": _b64_jpg(v)}).encode()
-    req = urllib.request.Request(
-        f"http://127.0.0.1:{EXPORT_PORT}/detect", data=body,
-        headers={"Content-Type": "application/json"})
-    with urllib.request.urlopen(req, timeout=120) as r:
-        out = json.loads(r.read())
+    out = _detect(exported_server, v)
     assert set(out) == {"boxes", "scores", "classes"}
     assert len(out["boxes"]) == len(out["scores"]) == len(out["classes"])
     for b in out["boxes"]:

@@ -44,10 +44,17 @@ def main():
     if args.exported:
         from double_yolo_kaist_tpu.export import ExportedPredictor
 
+        if args.int8:
+            raise SystemExit("--int8 with --exported: precision is baked "
+                             "into the artifact (meta['int8']); drop the "
+                             "flag")
         pred = ExportedPredictor(args.exported)
-        if (args.batch, tuple(pred.src_hw)) != (pred.batch, (512, 640)):
-            print(f"# artifact: batch {pred.batch}, src_hw {pred.src_hw}",
-                  flush=True)
+        if args.batch != pred.batch:
+            print(f"# --batch {args.batch} ignored: artifact compiled for "
+                  f"batch {pred.batch}", flush=True)
+        if tuple(pred.src_hw) != (512, 640):
+            print(f"# artifact src_hw {pred.src_hw} (not the KAIST "
+                  f"512x640)", flush=True)
         args.batch = pred.batch
         h, w = pred.src_hw
         args.model = os.path.basename(args.exported)
