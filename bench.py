@@ -34,8 +34,10 @@ from double_yolo_kaist_tpu.utils.general import enable_compile_cache
 enable_compile_cache()
 
 
-def measure_fps(ir, args, int8: bool) -> float:
-    """BN-fold (+quantize), jit the N-forward loop, time it on device."""
+def measure_fps(ir, args, int8: bool):
+    """BN-fold (+quantize), jit the N-forward loop, time it on device.
+    Returns (fps, spread) where fps is the graded min-time number and
+    spread carries the per-repeat min/mean/max fps."""
     t = time.perf_counter()
     # init + BN-fold as single jitted programs: the axon tunnel dispatches
     # op-by-op with high latency, and params must travel as *arguments* (a
@@ -76,6 +78,10 @@ def measure_fps(ir, args, int8: bool) -> float:
         else:
             targets, emits = Q.plan_quantization(ir, args.int8_mode)
             sig = (sorted(targets), sorted(emits))
+        # the implementation version rides in the key too: a numeric change
+        # in quantize.py that keeps the plan identical must not silently
+        # benchmark stale cached variables
+        sig = (Q.IMPL_VERSION,) + tuple(sig)
         qplan = hashlib.md5(repr(sig).encode()).hexdigest()[:10]
         qpath = os.path.join(
             cdir, f"bench_qvars_{args.model}_{args.int8_mode}_{qplan}_"
@@ -145,8 +151,18 @@ def measure_fps(ir, args, int8: bool) -> float:
         full = float(np.asarray(loop_j(folded, xv, xl, 1 + args.iters)))
         full_t.append(time.perf_counter() - t1)
         assert np.isfinite(full) and np.isfinite(base)
+    # graded number = min-over-repeats (stalls only add wall time), but
+    # report the per-repeat spread too so round-over-round drift is
+    # attributable to noise vs regression; each repeat is paired with the
+    # min baseline leg (a stalled baseline would inflate that repeat's fps)
+    per_repeat = sorted(args.batch * args.iters / (ft - min(base_t))
+                        for ft in full_t)
     dt = min(full_t) - min(base_t)
-    return args.batch * args.iters / dt
+    fps = args.batch * args.iters / dt
+    spread = {"min": round(per_repeat[0], 2),
+              "mean": round(float(np.mean(per_repeat)), 2),
+              "max": round(per_repeat[-1], 2)}
+    return fps, spread
 
 
 def main():
@@ -200,12 +216,18 @@ def main():
     both = args.int8 == args.bf16
     run_bf16 = both or args.bf16
     run_int8 = both or args.int8
-    fps_bf16 = measure_fps(ir, args, int8=False) if run_bf16 else None
-    fps_int8 = measure_fps(ir, args, int8=True) if run_int8 else None
+    fps_bf16 = sp_bf16 = fps_int8 = sp_int8 = None
+    if run_bf16:
+        fps_bf16, sp_bf16 = measure_fps(ir, args, int8=False)
+    if run_int8:
+        fps_int8, sp_int8 = measure_fps(ir, args, int8=True)
     if fps_bf16 is not None:
-        print(f"# bf16 {fps_bf16:.1f} fps", file=sys.stderr, flush=True)
+        print(f"# bf16 {fps_bf16:.1f} fps (repeats {sp_bf16['min']}/"
+              f"{sp_bf16['mean']}/{sp_bf16['max']})",
+              file=sys.stderr, flush=True)
     if fps_int8 is not None:
-        print(f"# int8[{args.int8_mode}] {fps_int8:.1f} fps",
+        print(f"# int8[{args.int8_mode}] {fps_int8:.1f} fps (repeats "
+              f"{sp_int8['min']}/{sp_int8['mean']}/{sp_int8['max']})",
               file=sys.stderr, flush=True)
 
     ref = reference_fps(args.model)
@@ -218,9 +240,11 @@ def main():
             "value": round(fps_int8, 2),
             "unit": "fps",
             "vs_baseline": round(fps_int8 / ref, 2),
+            "repeats": sp_int8,
         }
         if fps_bf16 is not None:
             out["bf16_fps"] = round(fps_bf16, 2)
+            out["bf16_repeats"] = sp_bf16
     else:
         out = {
             "metric": f"dual-stream {args.width}x{args.height} "
@@ -228,6 +252,7 @@ def main():
             "value": round(fps_bf16, 2),
             "unit": "fps",
             "vs_baseline": round(fps_bf16 / ref, 2),
+            "repeats": sp_bf16,
         }
     print(json.dumps(out))
 

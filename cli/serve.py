@@ -141,6 +141,8 @@ def main(argv=None):
             ("--img-size", opt.img_size, 512),
             ("--int8-calib", opt.int8_calib, ""),
             ("--int8-qvars", opt.int8_qvars, ""),
+            ("--calibration-batches", opt.calibration_batches, 2),
+            ("--calibration-pct", opt.calibration_pct, 100.0),
             ("--warmup-hw", opt.warmup_hw, None)) if val != dflt]
         if ignored:
             print(f"# --exported: ignoring {', '.join(ignored)} (baked "

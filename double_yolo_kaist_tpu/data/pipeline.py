@@ -114,9 +114,14 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
         v4, l4, lab4, m4 = A.mosaic_place(v4t, l4t, lab[idx], lmask[idx],
                                           centers, s)
         if snowflake or clahe:
-            # reference semantics: snowflake_cutout applies CLAHE
-            # internally (snowflake.py:67-69); standalone clahe is the
-            # `elif self.clahe` branch (kaist_dataset.py:311-313)
+            # snowflake=True matches the reference (snowflake_cutout
+            # applies CLAHE internally, snowflake.py:67-69). Standalone
+            # clahe=True on THIS mosaic path is a deliberate deviation:
+            # the reference's `elif self.clahe` branch only runs on the
+            # non-mosaic load_normal_images path (kaist_dataset.py:311-313),
+            # so reference mosaic training never sees standalone CLAHE —
+            # which skews train vs eval (eval always CLAHEs). We apply it
+            # here to remove that skew; recorded in docs/PARITY.md.
             v4 = clahe_batch(jnp.clip(jnp.round(v4), 0, 255)
                              .astype(jnp.uint8)).astype(pix_dtype)
             l4 = clahe_batch(jnp.clip(jnp.round(l4), 0, 255)
@@ -281,7 +286,7 @@ def device_image_pool(dataset, src_hw, force: bool | None = None):
     TPU-native dataset residency: host->device bandwidth is the train-loop
     bottleneck when source images stream per batch (the mosaic path reads
     4B images per batch; through the axon tunnel at ~48 MB/s that is ~21 s
-    per 4-step dispatch at bs32 — measured, tools/aug_probe.py). With the
+    per 4-step dispatch at bs32 — measured, tools/archive/aug_probe.py). With the
     pool, a batch is one on-device row gather and steady-state upload is
     zero. KAIST-scale sets fit comfortably when sharded (10 GB / 8 chips);
     single-chip use is gated by DYK_DEVICE_CACHE_GB (default 4 GB).
@@ -378,7 +383,7 @@ def host_image_pool(dataset, src_hw):
     XLA host-offloaded computation and DMA'd to HBM.
 
     Sits between the HBM pool (fastest: 1.13 ms / 63 MB batch gather,
-    tools/host_pool_probe.py) and per-batch streaming (through the axon
+    tools/archive/host_pool_probe.py) and per-batch streaming (through the axon
     tunnel: ~48 MB/s): measured 0.37 GB/s (172 ms / 63 MB batch) at ZERO
     HBM cost — full KAIST (15.7 GB) fits where the HBM pool cannot.
     Auto-selected by ``train_batches`` when the dataset exceeds

@@ -36,13 +36,18 @@ def _undo_letterbox(boxes: np.ndarray, ratio, pad, orig_hw):
 
 
 # jitted infer/fold programs reused across evaluate_dataset calls (a fresh
-# closure per call would re-trace the full model every epoch)
+# closure per call would re-trace the full model every epoch); bounded so
+# model/size sweeps in one process can't pin compiled executables forever
+# (same rationale as data/pipeline._TRAIN_AUG_CACHE)
 _INFER_CACHE: dict = {}
+_INFER_CACHE_MAX = 8
 
 
 def _cached(key, build):
     fn = _INFER_CACHE.get(key)
     if fn is None:
+        if len(_INFER_CACHE) >= _INFER_CACHE_MAX:
+            _INFER_CACHE.pop(next(iter(_INFER_CACHE)))
         fn = _INFER_CACHE[key] = build()
     return fn
 

@@ -57,6 +57,15 @@ def _flatten(tree, prefix=""):
         if not tree:
             empties.append("{}" + prefix[:-1])
         for k, v in tree.items():
+            if "/" in k:
+                # fail loudly at export time (matching the list/tuple check
+                # below): '/' is the join separator, so a key containing it
+                # would reconstruct into the wrong nesting and surface only
+                # as an opaque pytree mismatch at serve time
+                raise TypeError(
+                    f"variable tree key {k!r} at {prefix or '<root>'!r} "
+                    f"contains '/', the flatten separator; exported trees "
+                    f"must not use '/' in key names")
             o, e = _flatten(v, f"{prefix}{k}/")
             out.update(o)
             empties.extend(e)

@@ -28,6 +28,12 @@ from ..config.ir import GraphIR
 from . import graph as G
 from . import layers as L
 
+# Bump whenever quantize()/calibrate() numerics change in a way that does
+# not alter the plan signature — cached quantized-variable artifacts (e.g.
+# bench.py's qvars cache) key on this so a numeric change can never
+# silently benchmark stale variables.
+IMPL_VERSION = 1
+
 
 def _standard_convs(ir: GraphIR) -> set:
     """All standard convs that could carry int8 (head predictors excluded;

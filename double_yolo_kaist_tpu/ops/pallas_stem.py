@@ -104,7 +104,7 @@ def _kernel_scratch(x_hbm, w_ref, b_ref, o_ref, scratch, pbuf, sem,
 #
 # v3 (this version, the first one that BEATS XLA on hardware): the v2
 # manual halo-DMA kernel compiled but ran 3.8 ms vs XLA 2.1 ms at bs16 —
-# ablation (tools/stem_probe.py) showed 2.3 ms was the *serialized* DMA
+# ablation (tools/archive/stem_probe.py) showed 2.3 ms was the *serialized* DMA
 # (start;wait with zero overlap) and 1.3 ms the f32 carry/mish epilogue.
 # v3 therefore (a) drops manual DMA entirely: the kernel takes the block
 # rows via an auto-pipelined BlockSpec (Pallas double-buffers HBM->VMEM

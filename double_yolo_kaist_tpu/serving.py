@@ -120,9 +120,18 @@ class Predictor:
         self._run_cache: dict = {}
 
         if int8:
+            import os as _os
+
             from .models import quantize as Q
 
-            if Q.warn_if_empty_plan(self.ir, int8_mode, "serving bf16"):
+            # mirror evaluator.py's gate: a quantized artifact that exists
+            # on disk is authoritative (it carries its own mode/hw
+            # validation below) — only downgrade to bf16 on an empty plan
+            # when no artifact will be loaded, otherwise an explicitly
+            # provided artifact would silently serve bf16 unvalidated
+            has_artifact = quantized and _os.path.exists(str(quantized))
+            if not has_artifact and Q.warn_if_empty_plan(
+                    self.ir, int8_mode, "serving bf16"):
                 # e.g. the MobileNet family (measured 35% regression when
                 # their stems were quantized): nothing to quantize, so
                 # serve bf16 and skip calibration entirely

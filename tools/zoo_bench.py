@@ -59,17 +59,19 @@ def main():
             t0 = time.perf_counter()
             try:
                 ir = compile_cfg(cfg_path(name))
-                row["bf16_fps"] = round(
-                    bench.measure_fps(ir, argparse.Namespace(
+                fps, spread = bench.measure_fps(ir, argparse.Namespace(
+                    model=name, batch=args.batch, height=args.height,
+                    width=args.width, iters=args.iters,
+                    int8_mode=args.int8_mode), int8=False)
+                row["bf16_fps"] = round(fps, 1)
+                row["bf16_repeats"] = spread
+                if args.int8:
+                    fps, spread = bench.measure_fps(ir, argparse.Namespace(
                         model=name, batch=args.batch, height=args.height,
                         width=args.width, iters=args.iters,
-                        int8_mode=args.int8_mode), int8=False), 1)
-                if args.int8:
-                    row["int8_fps"] = round(
-                        bench.measure_fps(ir, argparse.Namespace(
-                            model=name, batch=args.batch, height=args.height,
-                            width=args.width, iters=args.iters,
-                            int8_mode=args.int8_mode), int8=True), 1)
+                        int8_mode=args.int8_mode), int8=True)
+                    row["int8_fps"] = round(fps, 1)
+                    row["int8_repeats"] = spread
                 ref = reference_fps(name)
                 row["ref_fps"] = ref
                 row["vs_ref"] = round(
