@@ -285,6 +285,15 @@ def s2d_conv(x, w, b, act, role, dtype=None, *, wt=None, bt=None):
     return activate(act, (y + bt.astype(y.dtype)).astype(dtype))
 
 
+def _at_least_f32(x):
+    """Cast to fp32 unless the input is already wider (float64): statistics
+    and attention paths compute in fp32 minimum, but fp64 parity runs
+    (tests/test_grad_parity.py under jax_enable_x64) must not silently
+    truncate — that would put an fp32 noise floor under a double-precision
+    reference comparison."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def batch_norm(x, params, state, train: bool, axis_name: str | None = None,
                phases: int = 1):
     """BatchNorm2d. In train mode returns (y, new_state) with batch statistics
@@ -306,7 +315,7 @@ def batch_norm(x, params, state, train: bool, axis_name: str | None = None,
         return v if phases == 1 else jnp.repeat(v, phases)
 
     if train:
-        xf = x.astype(jnp.float32)
+        xf = _at_least_f32(x)
         mean = pool(xf)
         if axis_name is not None:
             mean = jax.lax.pmean(mean, axis_name)
@@ -327,7 +336,7 @@ def batch_norm(x, params, state, train: bool, axis_name: str | None = None,
         mean, var = state["mean"], state["var"]
         new_state = state
     inv = jax.lax.rsqrt(var + BN_EPS) * params["scale"]
-    y = ((x.astype(jnp.float32) - bcast(mean)) * bcast(inv)
+    y = ((_at_least_f32(x) - bcast(mean)) * bcast(inv)
          + bcast(params["bias"]))
     return y.astype(x.dtype), new_state
 
@@ -383,7 +392,7 @@ def squeeze_excitation(x, params):
     """Channel attention: GAP -> 1x1 -> relu -> 1x1 -> hard-sigmoid -> scale
     (reference layers.py:175-190). The pooled path is tiny — XLA fuses it; the
     two 1x1 convs on a 1x1 map are plain (1,C)x(C,S) matmuls."""
-    pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))            # (B, C)
+    pooled = jnp.mean(_at_least_f32(x), axis=(1, 2))            # (B, C)
     s = pooled @ params["fc1"]["w"].reshape(x.shape[-1], -1) + params["fc1"]["b"]
     s = jax.nn.relu(s)
     s = s @ params["fc2"]["w"].reshape(s.shape[-1], -1) + params["fc2"]["b"]
@@ -474,7 +483,7 @@ def weighted_fusion(x, extras: list, w=None):
     layers.py:63-85)."""
     n = len(extras) + 1
     if w is not None:
-        ws = jax.nn.sigmoid(w.astype(jnp.float32)) * (2.0 / n)
+        ws = jax.nn.sigmoid(_at_least_f32(w)) * (2.0 / n)
         x = x * ws[0].astype(x.dtype)
     nx = x.shape[-1]
     for i, a in enumerate(extras):

@@ -78,21 +78,25 @@ def compute_loss(raw_heads, targets, tmask, specs, hyp, gr: float = 1.0):
     fl_gamma = float(hyp.get("fl_gamma", 0.0) or 0.0)
     cp, cn = smooth_bce(0.0)
 
-    lbox = jnp.zeros((), jnp.float32)
-    lobj = jnp.zeros((), jnp.float32)
-    lcls = jnp.zeros((), jnp.float32)
+    # fp32 minimum; float64 heads keep double precision end to end so fp64
+    # parity runs (tests/test_grad_parity.py) are not floored at fp32 noise
+    fdt = jnp.promote_types(raw_heads[0].dtype, jnp.float32)
+
+    lbox = jnp.zeros((), fdt)
+    lobj = jnp.zeros((), fdt)
+    lcls = jnp.zeros((), fdt)
 
     b_img = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, T, 1))
 
     for pi, spec in zip(raw_heads, specs):
-        pi = pi.astype(jnp.float32)
+        pi = pi.astype(fdt)
         _, na, ny, nx, no = pi.shape
         nc = spec.nc
         anchors = jnp.asarray(spec.anchors_vec)                  # (na, 2)
 
         # scale normalized labels to this grid (reference utils.py:328-339)
-        gxy = targets[..., 1:3] * jnp.asarray([nx, ny], jnp.float32)  # (B,T,2)
-        gwh = targets[..., 3:5] * jnp.asarray([nx, ny], jnp.float32)
+        gxy = targets[..., 1:3].astype(fdt) * jnp.asarray([nx, ny], fdt)  # (B,T,2)
+        gwh = targets[..., 3:5].astype(fdt) * jnp.asarray([nx, ny], fdt)
         tcls = targets[..., 0].astype(jnp.int32)
 
         # anchor-template matching: wh-IoU(anchor, gt) > iou_t
@@ -123,7 +127,7 @@ def compute_loss(raw_heads, targets, tmask, specs, hyp, gr: float = 1.0):
             pxy = jax.nn.sigmoid(ps[:, :2])
             pwh = jnp.clip(jnp.exp(ps[:, 2:4]), max=1e3) * anchors[ai]
         pbox = jnp.concatenate([pxy, pwh], axis=-1)
-        tbox = jnp.concatenate([gxy_f - gij.astype(jnp.float32), gwh_f], -1)
+        tbox = jnp.concatenate([gxy_f - gij.astype(fdt), gwh_f], -1)
 
         iou = bbox_iou(pbox, tbox, xywh=True, ciou=use_ciou,
                        giou=not use_ciou)
@@ -133,7 +137,7 @@ def compute_loss(raw_heads, targets, tmask, specs, hyp, gr: float = 1.0):
         # via out-of-bounds indices (reference utils.py:271)
         t_iou = (1.0 - gr) + gr * jnp.clip(jax.lax.stop_gradient(iou), 0.0)
         drop = jnp.where(m, bi, B)  # B is out of bounds -> dropped
-        tobj = jnp.zeros((B, na, ny, nx), jnp.float32)
+        tobj = jnp.zeros((B, na, ny, nx), fdt)
         tobj = tobj.at[drop, ai, gj, gi].set(t_iou, mode="drop")
 
         obj_l = bce_with_logits(pi[..., 4], tobj, hyp["obj_pw"])
@@ -142,7 +146,7 @@ def compute_loss(raw_heads, targets, tmask, specs, hyp, gr: float = 1.0):
         lobj += obj_l.mean()
 
         if nc > 1:
-            t_cls = jnp.full((ps.shape[0], nc), cn, jnp.float32)
+            t_cls = jnp.full((ps.shape[0], nc), cn, fdt)
             t_cls = t_cls.at[jnp.arange(ps.shape[0]), cls_f].set(cp)
             cls_l = bce_with_logits(ps[:, 5:], t_cls, hyp["cls_pw"])
             if fl_gamma > 0:
