@@ -472,25 +472,35 @@ def host_image_pool(dataset, src_hw):
 def train_batch_plan(dataset, batch_size: int, sizes, *,
                      max_targets_per_img: int = 16, shuffle: bool = True,
                      drop_last: bool = True, seed_epoch: int = 0,
-                     epoch_partners: bool = True):
+                     epoch_partners: bool = True, size_every: int = 1):
     """Host-side epoch plan shared by the streaming/pooled/fused paths:
     yields (b0, idx, load, targets, tmask, size) per batch with ONE rng
     sequence (shuffle -> per-batch partner draw -> per-batch size draw), so
-    every consumer sees identical sampling."""
+    every consumer sees identical sampling.
+
+    ``size_every``: draw the multi-scale bucket size once every N batches
+    instead of per batch — the K batches of one multi-step dispatch must
+    share a shape (one XLA program per bucket), so the trainer plans with
+    size_every=steps_per_dispatch. The reference itself resizes only every
+    10 batches (kaist_train_eval_utils.py:58-63), so per-dispatch sampling
+    is the same granularity trade it already makes. Default 1 keeps the
+    per-batch stream bit-identical to previous rounds."""
     n = len(dataset)
     order = np.arange(n)
     rng = np.random.default_rng(seed_epoch)
     if shuffle:
         rng.shuffle(order)
     stop = n - (n % batch_size) if drop_last else n
-    for b0 in range(0, stop, batch_size):
+    size = sizes[0]
+    for k, b0 in enumerate(range(0, stop, batch_size)):
         idx = order[b0:b0 + batch_size]
         load = list(idx)
         if epoch_partners:
             load += list(rng.integers(0, n, 3 * len(idx)))
         t, m = pad_labels([dataset.labels[i] for i in load],
                           max_targets_per_img)
-        size = sizes[int(rng.integers(len(sizes)))]
+        if k % size_every == 0:
+            size = sizes[int(rng.integers(len(sizes)))]
         yield b0, idx, np.asarray(load, np.int32), t, m, size
 
 
@@ -499,7 +509,7 @@ def train_batches(dataset, batch_size: int, key, *, img_size,
                   max_targets_per_img: int = 16, shuffle: bool = True,
                   drop_last: bool = True, seed_epoch: int = 0,
                   epoch_partners: bool = True,
-                  device_cache: bool | None = None):
+                  device_cache: bool | None = None, size_every: int = 1):
     """Yield jitted-augmented device batches for one epoch.
 
     ``img_size`` may be an int or a list of bucket sizes; with a list, the
@@ -560,7 +570,7 @@ def train_batches(dataset, batch_size: int, key, *, img_size,
             dataset, batch_size, sizes,
             max_targets_per_img=max_targets_per_img, shuffle=shuffle,
             drop_last=drop_last, seed_epoch=seed_epoch,
-            epoch_partners=epoch_partners):
+            epoch_partners=epoch_partners, size_every=size_every):
         sub = jax.random.fold_in(akey, b0)
         if pool is not None:
             batch = augs[size](sub, pool[0], pool[1], jnp.asarray(load),

@@ -120,13 +120,14 @@ class Trainer:
                                      accumulate=accumulate)
         self.state = create_train_state(ir, jax.random.PRNGKey(seed), self.tx,
                                         ema=ema, variables=variables)
-        if steps_per_dispatch > 1 and multi_scale:
-            raise ValueError("steps_per_dispatch>1 requires a fixed image "
-                             "size (stacked batches share one shape)")
         self.steps_per_dispatch = steps_per_dispatch
         self.remat_segments = remat_segments
-        self._fused_step = None   # built lazily when a resident pool engages
-        self._fused_tier = None
+        # fused programs built lazily when a resident pool engages; keyed by
+        # (tier, img_size) — multi-scale training compiles one fused program
+        # per bucket shape and the bucket is sampled per DISPATCH (the K
+        # stacked batches of one program share a shape; see
+        # pipeline.train_batch_plan size_every)
+        self._fused_steps = {}
         if steps_per_dispatch > 1:
             from .step import make_multi_step
             self.step_fn = make_multi_step(ir, self.hyp, self.tx,
@@ -197,7 +198,7 @@ class Trainer:
         # fused path: multi-step dispatch + resident pool -> one XLA program
         # per K steps does gather+augment+train entirely on device (HBM
         # pool), or augment+train with host-gathered rows (pinned-host pool)
-        if self.steps_per_dispatch > 1 and not self.multi_scale:
+        if self.steps_per_dispatch > 1:
             from ..data.pipeline import select_image_pool
             src_hw = tuple(int(x)
                            for x in self.train_dataset.shapes[0][::-1])
@@ -214,7 +215,10 @@ class Trainer:
             self.train_dataset, self.batch_size, key,
             img_size=sizes, hyp=self.hyp,
             snowflake=self.snowflake, clahe=self.clahe, seed_epoch=epoch,
-            device_cache=self.device_cache))
+            device_cache=self.device_cache,
+            # stacked multi-step dispatches share one shape: draw the
+            # multi-scale bucket once per K-batch group
+            size_every=self.steps_per_dispatch))
         if self.steps_per_dispatch > 1:
             batches = _group_batches(batches, self.steps_per_dispatch)
         last = {}
@@ -254,18 +258,22 @@ class Trainer:
 
         ds = self.train_dataset
         K = self.steps_per_dispatch
-        if self._fused_step is None or self._fused_tier != tier:
-            src_hw = tuple(int(x) for x in ds.shapes[0][::-1])
-            aug = make_train_augment_fn(
-                src_hw, self.img_size, self.hyp, snowflake=self.snowflake,
-                clahe=self.clahe, from_pool=tier == "hbm", jit=False)
-            from .step import make_fused_multi_step
-            self._fused_step = make_fused_multi_step(
-                self.ir, self.hyp, self.tx, aug,
-                compute_dtype=self.compute_dtype,
-                remat_segments=self.remat_segments,
-                images_in=tier != "hbm")
-            self._fused_tier = tier
+        sizes = (multi_scale_buckets(self.img_size) if self.multi_scale
+                 else [self.img_size])
+
+        def fused_for(size: int):
+            if (tier, size) not in self._fused_steps:
+                src_hw = tuple(int(x) for x in ds.shapes[0][::-1])
+                aug = make_train_augment_fn(
+                    src_hw, size, self.hyp, snowflake=self.snowflake,
+                    clahe=self.clahe, from_pool=tier == "hbm", jit=False)
+                from .step import make_fused_multi_step
+                self._fused_steps[(tier, size)] = make_fused_multi_step(
+                    self.ir, self.hyp, self.tx, aug,
+                    compute_dtype=self.compute_dtype,
+                    remat_segments=self.remat_segments,
+                    images_in=tier != "hbm")
+            return self._fused_steps[(tier, size)]
         if tier == "hbm":
             pool_v, pool_l = pool
             if self.mesh is not None:
@@ -286,10 +294,13 @@ class Trainer:
 
         def groups():
             buf = []
-            for b0, idx, load, t, m, _ in train_batch_plan(
-                    ds, self.batch_size, [self.img_size], seed_epoch=epoch):
+            for b0, idx, load, t, m, size in train_batch_plan(
+                    ds, self.batch_size, sizes, seed_epoch=epoch,
+                    size_every=K):
                 buf.append((b0, idx, load, t, m))
                 if len(buf) == K:
+                    # size_every=K aligns bucket draws with group boundaries,
+                    # so all K batches here share `size` by construction
                     xs = {"b0": np.asarray([b[0] for b in buf], np.int32),
                           "targets": np.stack([b[3] for b in buf]),
                           "tmask": np.stack([b[4] for b in buf])}
@@ -298,7 +309,7 @@ class Trainer:
                     else:
                         xs["load_all"] = np.concatenate(
                             [b[2] for b in buf])
-                    yield xs, np.concatenate([b[1] for b in buf])
+                    yield xs, np.concatenate([b[1] for b in buf]), size
                     buf = []
 
         logger = MetricLogger(print_freq=print_freq)
@@ -309,7 +320,7 @@ class Trainer:
         # bit-for-bit while never colliding with the per-step model rng
         # fold_in(key, i); loop-invariant, derived once per epoch
         akey = jax.random.fold_in(key, AUG_STREAM_TAG)
-        for i, (xs, idx) in logger.log_every(groups(), f"epoch {epoch}"):
+        for i, (xs, idx, size) in logger.log_every(groups(), f"epoch {epoch}"):
             if tier != "hbm":
                 # one two-stream pinned-host gather for the whole dispatch,
                 # issued right before it; (K*4B, H, W, 3) -> (K, 4B, ...)
@@ -325,12 +336,13 @@ class Trainer:
                 xs = {"b0": M.replicate(jnp.asarray(xs["b0"]), self.mesh),
                       **sharded}
             timer.data_ready()
+            step_fn = fused_for(size)
             if tier == "hbm":
-                self.state, metrics = self._fused_step(
+                self.state, metrics = step_fn(
                     self.state, pool_v, pool_l, xs, akey,
                     jax.random.fold_in(key, i))
             else:
-                self.state, metrics = self._fused_step(
+                self.state, metrics = step_fn(
                     self.state, xs, akey, jax.random.fold_in(key, i))
             last = {k: float(np.asarray(v).ravel()[-1])
                     for k, v in metrics.items()}
