@@ -31,7 +31,12 @@ from cli.common import build_model  # noqa: E402
 
 
 def make_handler(predictor, model_name: str):
+    """``predictor`` is anything mapping stacked frames -> per-frame results:
+    a Predictor/ExportedPredictor (called as predictor(v[None], l[None])) or
+    a MicroBatcher (requests coalesce across handler threads)."""
     import cv2
+
+    from double_yolo_kaist_tpu.serving import MicroBatcher
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
@@ -66,7 +71,10 @@ def make_handler(predictor, model_name: str):
                     l = cv2.imdecode(np.frombuffer(
                         base64.b64decode(req["lwir"]), np.uint8),
                         cv2.IMREAD_COLOR)[:, :, ::-1]
-                (boxes, scores, classes), = predictor(v[None], l[None])
+                if isinstance(predictor, MicroBatcher):
+                    boxes, scores, classes = predictor.submit(v, l)
+                else:
+                    (boxes, scores, classes), = predictor(v[None], l[None])
                 self._send(200, {"boxes": boxes.tolist(),
                                  "scores": scores.tolist(),
                                  "classes": classes.tolist()})
@@ -112,6 +120,17 @@ def main(argv=None):
                         "requests shard over the batch, params replicate — "
                         "aggregate fps scales with the mesh (per-chip fps is "
                         "roofline-bound, docs/ROADMAP.md)")
+    p.add_argument("--microbatch", type=int, default=16,
+                   help="coalesce concurrent /detect requests into one "
+                        "batched device call (continuous batching: an idle "
+                        "server runs a lone request immediately; under load "
+                        "the batch self-sizes up to this cap, pushing "
+                        "aggregate fps toward the chip's batched roofline). "
+                        "0 disables (bs-1 program per request)")
+    p.add_argument("--microbatch-wait-ms", type=float, default=0.0,
+                   help="optionally hold the first request of a batch this "
+                        "long so more arrivals join (trades tail latency "
+                        "for bigger buckets at moderate load)")
     p.add_argument("--port", type=int, default=8321)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--no-warmup", action="store_true",
@@ -158,6 +177,13 @@ def main(argv=None):
             predictor.warmup()
             print(f"# warmup {predictor.src_hw} compiled in "
                   f"{time.perf_counter() - t0:.1f}s", flush=True)
+        if opt.microbatch:
+            from double_yolo_kaist_tpu.serving import MicroBatcher
+
+            # coalesced groups fill the artifact's compiled batch instead of
+            # each request padding it alone
+            predictor = MicroBatcher(predictor, max_batch=opt.microbatch,
+                                     max_wait_ms=opt.microbatch_wait_ms)
         server = ThreadingHTTPServer(
             (opt.host, opt.port),
             make_handler(predictor, os.path.basename(opt.exported)))
@@ -183,8 +209,13 @@ def main(argv=None):
             raise SystemExit(f"--dp {n}: only {len(devs)} device(s) visible")
         mesh = M.make_mesh(devices=devs[:n])
         print(f"# data-parallel serving over {n} device(s)", flush=True)
+    # with micro-batching on, coalesced groups need padded batch programs
+    # beyond bs1; each bucket compiles lazily on the first group that
+    # reaches it (one-time cost per size)
+    buckets = ((1,) if not opt.microbatch
+               else tuple(sorted({1, 4, opt.microbatch})))
     predictor = Predictor(ir, variables, img_size=opt.img_size,
-                          conf_thres=opt.conf_thres, batch_buckets=(1,),
+                          conf_thres=opt.conf_thres, batch_buckets=buckets,
                           int8=opt.int8, int8_mode=opt.int8_mode,
                           calibration_batches=opt.calibration_batches,
                           calibration_pct=opt.calibration_pct,
@@ -199,6 +230,11 @@ def main(argv=None):
         predictor.warmup((h, w))
         print(f"# warmup ({h}x{w}) compiled in "
               f"{time.perf_counter() - t0:.1f}s", flush=True)
+    if opt.microbatch:
+        from double_yolo_kaist_tpu.serving import MicroBatcher
+
+        predictor = MicroBatcher(predictor, max_batch=opt.microbatch,
+                                 max_wait_ms=opt.microbatch_wait_ms)
     server = ThreadingHTTPServer(
         (opt.host, opt.port),
         make_handler(predictor, os.path.basename(str(opt.cfg))))

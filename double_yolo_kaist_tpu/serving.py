@@ -8,6 +8,7 @@ padding of partial batches so no new XLA programs are compiled at serve time.
 
 from __future__ import annotations
 
+import time
 from typing import Optional, Sequence
 
 import numpy as np
@@ -327,3 +328,124 @@ class Predictor:
             out.extend(unpack_detections(det, valid, real, ratio[0], pad,
                                          src_hw))
         return out
+
+
+class MicroBatcher:
+    """Cross-request micro-batching: coalesce concurrent single-frame
+    requests into one batched predictor call.
+
+    The reference serves detect.py one image at a time (detect.py:24-78);
+    a production endpoint sees concurrent traffic, and running each request
+    as its own bs-1 program serializes the device at single-image latency
+    while the chip's bs-16 program is ~2x the aggregate throughput
+    (docs/ROADMAP.md roofline). This wraps any batch-capable predictor
+    (``Predictor`` or ``export.ExportedPredictor``) with the continuous-
+    batching pattern:
+
+    * a single dispatcher thread owns the device; request threads enqueue
+      frames and block on a per-request event;
+    * the dispatcher takes EVERYTHING pending (same source shape, up to
+      ``max_batch``) the moment it is free — an idle server runs a lone
+      request immediately, adding no latency;
+    * while a batch executes on-device, new arrivals pile up and form the
+      next batch, so under load the batch size self-adjusts to the device's
+      throughput equilibrium — no tuning knob, no timer;
+    * ``max_wait_ms`` (optional, default 0) additionally holds the FIRST
+      request of a batch for a fixed window to reach bigger buckets at
+      moderate load, trading tail latency for throughput.
+
+    Results are bit-identical to unbatched serving: the fixed-shape NMS is
+    per-image, and partial buckets are zero-padded by the predictor itself.
+    """
+
+    def __init__(self, predictor, *, max_batch: int = 16,
+                 max_wait_ms: float = 0.0):
+        import threading
+
+        self.predictor = predictor
+        self.max_batch = int(max_batch)
+        self.max_wait = float(max_wait_ms) / 1e3
+        self._lock = threading.Lock()
+        self._arrived = threading.Condition(self._lock)
+        self._pending: list = []       # [request dicts], FIFO
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="microbatch-dispatcher")
+        self._thread.start()
+
+    def close(self) -> None:
+        with self._lock:
+            self._stop = True
+            self._arrived.notify()
+        self._thread.join(timeout=5)
+
+    def submit(self, v_img: np.ndarray, l_img: np.ndarray | None = None):
+        """One frame in (H, W, 3) uint8 -> (boxes, scores, classes).
+        Blocks until the coalesced batch containing this frame completes.
+        Thread-safe; call from each request handler thread."""
+        import threading
+
+        req = {"v": np.asarray(v_img),
+               "l": np.asarray(v_img if l_img is None else l_img),
+               "done": threading.Event(), "t0": time.monotonic()}
+        if req["v"].shape != req["l"].shape:
+            raise ValueError(f"visible/lwir shape mismatch: "
+                             f"{req['v'].shape} vs {req['l'].shape}")
+        with self._lock:
+            if self._stop:
+                raise RuntimeError("MicroBatcher is closed")
+            self._pending.append(req)
+            self._arrived.notify()
+        req["done"].wait()
+        if "err" in req:
+            raise req["err"]
+        return req["res"]
+
+    # ------------------------------------------------------------- internal
+
+    def _take_batch(self) -> list:
+        """Called with the lock held and _pending non-empty: pop the oldest
+        request plus every same-shape request after it, up to max_batch."""
+        if self.max_wait > 0:
+            deadline = self._pending[0]["t0"] + self.max_wait
+            while (len(self._pending) < self.max_batch and not self._stop):
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                self._arrived.wait(left)
+                if not self._pending:   # raced with close()
+                    return []
+        shape = self._pending[0]["v"].shape
+        take, keep = [], []
+        for r in self._pending:
+            if r["v"].shape == shape and len(take) < self.max_batch:
+                take.append(r)
+            else:
+                keep.append(r)
+        self._pending = keep
+        return take
+
+    def _loop(self) -> None:
+        while True:
+            with self._lock:
+                while not self._pending and not self._stop:
+                    self._arrived.wait()
+                if self._stop:
+                    batch, self._pending = self._pending, []
+                    for r in batch:
+                        r["err"] = RuntimeError("MicroBatcher closed")
+                        r["done"].set()
+                    return
+                batch = self._take_batch()
+            if not batch:
+                continue
+            try:
+                res = self.predictor(np.stack([r["v"] for r in batch]),
+                                     np.stack([r["l"] for r in batch]))
+                for r, out in zip(batch, res):
+                    r["res"] = out
+            except Exception as e:  # noqa: BLE001 — deliver to submitters
+                for r in batch:
+                    r["err"] = e
+            for r in batch:
+                r["done"].set()

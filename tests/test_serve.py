@@ -139,3 +139,25 @@ def test_exported_rejects_conflicting_flags():
         env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert proc.returncode != 0
     assert "bakes precision and replica layout" in proc.stderr
+
+
+def test_concurrent_requests_microbatch(server):
+    """The server default (--microbatch 16) coalesces concurrent /detect
+    requests through serving.MicroBatcher; every client must get ITS OWN
+    frame's detections back, and results must match the same frame served
+    alone (coalescing is semantically invisible)."""
+    import concurrent.futures
+
+    rng = np.random.default_rng(2)
+    frames = [rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+              for _ in range(8)]
+    solo = [_detect(server, v) for v in frames[:2]]   # also warms bucket 1
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        outs = list(ex.map(lambda v: _detect(server, v, timeout=300),
+                           frames))
+    for out in outs:
+        assert set(out) == {"boxes", "scores", "classes"}
+    # response routing: concurrent result for frame i == its solo result
+    for i in range(2):
+        assert np.allclose(outs[i]["boxes"], solo[i]["boxes"], atol=1e-3)
+        assert np.allclose(outs[i]["scores"], solo[i]["scores"], atol=1e-4)

@@ -31,9 +31,22 @@ enable_compile_cache()
 
 
 def build(ir, mode, args, folded, stats):
+    """``mode`` may carry a ``+fpstem`` suffix: quantize as the base mode,
+    then strip the stem-pair quantization entries so the program runs the
+    fused bf16 stem (layers.fused_stem_pair) inside the otherwise-int8
+    graph — the A/B for whether the int8 stem's standalone mid-activation
+    quantize pass (1.03 GB/step at bs16, HLO round-4 profile) pays for the
+    int8 stem convs."""
+    base = mode.split("+")[0]
     qvars = jax.jit(lambda f: Q.quantize(
-        ir, f, stats, mode=mode, hw=(args.height, args.width)))(folded)
+        ir, f, stats, mode=base, hw=(args.height, args.width)))(folded)
     jax.block_until_ready(qvars)
+    if mode.endswith("+fpstem"):
+        qvars = {"params": {k: {kk: vv for kk, vv in v.items()
+                                if kk not in ("amax_in", "amax_mid",
+                                              "stem_q")}
+                            for k, v in qvars["params"].items()}}
+    mode = base
 
     def loop(params, xv, xl, n):
         def body(_, acc):
