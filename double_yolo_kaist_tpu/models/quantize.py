@@ -32,7 +32,8 @@ from . import layers as L
 # not alter the plan signature — cached quantized-variable artifacts (e.g.
 # bench.py's qvars cache) key on this so a numeric change can never
 # silently benchmark stale variables.
-IMPL_VERSION = 1
+IMPL_VERSION = 2    # v2: stem pairs default to the fused bf16 stem
+                    # (int8_stems=False) — chip A/B round 4: 935 vs 897 fps
 
 
 def _standard_convs(ir: GraphIR) -> set:
@@ -538,7 +539,8 @@ def _qconv_params(p, amax: float):
 
 
 def _quantize_edge(ir: GraphIR, folded: dict, stats: dict,
-                   hw: tuple | None = None) -> dict:
+                   hw: tuple | None = None,
+                   int8_stems: bool = False) -> dict:
     """mode='edge' variables: folded weights carry the per-channel scales of
     their int8 input edges; emitting nodes carry ``out_s``/``out_inv``
     per-channel output scale vectors (PLAIN channel space — the executor
@@ -597,7 +599,8 @@ def _quantize_edge(ir: GraphIR, folded: dict, stats: dict,
                 p2["bt"] = (p["b"] if plan[i] == "x3"
                             else jnp.repeat(p["b"], 4))
                 ent["fp"] = p2
-            if node.kind == "conv" and i in stem and key in stats:
+            if node.kind == "conv" and i in stem and key in stats \
+                    and int8_stems:
                 ent["amax_in"] = np.float32(stats[key])
                 mid = stats.get(f"l{stem[i]}")
                 if mid is not None:
@@ -622,7 +625,8 @@ def _quantize_edge(ir: GraphIR, folded: dict, stats: dict,
 
 
 def quantize(ir: GraphIR, folded: dict, stats: dict,
-             mode: str = "chain", hw: tuple | None = None) -> dict:
+             mode: str = "chain", hw: tuple | None = None,
+             int8_stems: bool = False) -> dict:
     """BN-folded params + calibration stats -> quantized variables.
 
     Chain-emitting convs carry ``out_inv_s`` = 127/amax(consumer input): the
@@ -630,9 +634,19 @@ def quantize(ir: GraphIR, folded: dict, stats: dict,
     consumer's input scale, so the math is bit-identical to dequantize-then-
     requantize while writing half the bytes. apply_quantized infers the
     int8-input edges back from the presence of ``out_inv_s`` (the consumer is
-    always the next node), so the plan travels with the params pytree."""
+    always the next node), so the plan travels with the params pytree.
+
+    ``int8_stems``: quantize the fused stem pairs too. Default OFF — the
+    stems are bandwidth-bound (K = 48/288 MACs, far under the MXU tile) so
+    int8 buys no MXU time, while the mid-activation requantize runs at the
+    stem's s2d resolution (336 Melem -> ~1 GB/step at bs16 512x640, the
+    single largest standalone elementwise pass in the round-4 HLO profile);
+    XLA's conv emitter refuses to fold the s8 store into the conv fusion in
+    the s2d layout. Paired chip A/B (tools/int8_ab.py chain vs chain+fpstem,
+    4 rounds): bf16 stems 935.3 fps vs int8 stems 897.4 — the fused bf16
+    stem (layers.fused_stem_pair) wins 4.2% and is bit-more-accurate."""
     if mode == "edge":
-        return _quantize_edge(ir, folded, stats, hw)
+        return _quantize_edge(ir, folded, stats, hw, int8_stems)
     params = folded["params"]
     targets, emits = plan_quantization(ir, mode)
     s2d_cands = G.s2d_candidates(ir) if G._S2D_REGION else set()
@@ -672,7 +686,7 @@ def quantize(ir: GraphIR, folded: dict, stats: dict,
                 p2["bt"] = (p["b"] if plan[node.index] == "x3"
                             else jnp.repeat(p["b"], 4))
                 q[key] = {"fp": p2}
-            if node.index in stem and key in stats:
+            if node.index in stem and key in stats and int8_stems:
                 # fused int8 stem: image-input and mid-activation scales +
                 # pre-transformed/quantized pair kernels
                 q[key]["amax_in"] = np.float32(stats[key])

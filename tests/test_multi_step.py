@@ -159,8 +159,62 @@ def test_fused_trainer_epoch_matches_unfused(tmp_path):
 
     tr_f, last_f = run(True)     # pool engages -> fused path
     tr_u, last_u = run(False)    # streaming -> per-batch augment + grouping
-    assert tr_f._fused_step is not None
-    assert tr_u._fused_step is None
+    assert tr_f._fused_steps
+    assert not tr_u._fused_steps
+    assert int(jax.device_get(tr_f.state.step)) == 4
+    np.testing.assert_allclose(last_f["loss"], last_u["loss"],
+                               rtol=1e-5, atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        tr_f.state.params, tr_u.state.params)
+
+
+def test_fused_multi_scale_trainer_matches_unfused(tmp_path):
+    """Multi-scale on the fused fast path (round 4: the steps_per_dispatch>1
+    + multi_scale restriction is lifted): the bucket size is drawn once per
+    K-batch dispatch (pipeline.train_batch_plan size_every), each bucket
+    compiles its own fused program, and the result must equal the unfused
+    multi-scale pipeline batch for batch (same plan rng -> same buckets,
+    same augment keys, same math). Reference multi-scale: train.py:46-59."""
+    img_dir = tmp_path / "images" / "s"
+    lab_dir = tmp_path / "labels" / "s"
+    img_dir.mkdir(parents=True)
+    lab_dir.mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    logical = []
+    for i in range(8):
+        v = rng.integers(0, 256, (128, 160, 3), dtype=np.uint8)
+        l = rng.integers(0, 256, (128, 160, 3), dtype=np.uint8)
+        cv2.imwrite(str(img_dir / f"I{i}_visible.jpg"), v)
+        cv2.imwrite(str(img_dir / f"I{i}_lwir.jpg"), l)
+        (lab_dir / f"I{i}.txt").write_text("0 0.5 0.5 0.25 0.4\n")
+        logical.append(str(img_dir / f"I{i}.jpg"))
+    split = tmp_path / "t.txt"
+    split.write_text("\n".join(logical) + "\n")
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+
+    from double_yolo_kaist_tpu.train.trainer import multi_scale_buckets
+    sizes = multi_scale_buckets(64)
+    assert len(sizes) > 1            # the test must exercise >1 program
+
+    def run(device_cache):
+        ds = KaistDataset(str(split), img_size=64, batch_size=2,
+                          augment=True, hyp=FULL_HYP)
+        tr = Trainer(ir, FULL_HYP, epochs=1, batch_size=2, img_size=64,
+                     train_dataset=ds, val_dataset=ds, sgd=True,
+                     multi_scale=True, steps_per_dispatch=2,
+                     compute_dtype=jnp.float32,
+                     out_dir=str(tmp_path / f"runs_ms{device_cache}"),
+                     device_cache=device_cache)
+        last, _ = tr.train_one_epoch(0, print_freq=1000)
+        return tr, last
+
+    tr_f, last_f = run(True)
+    tr_u, last_u = run(False)
+    # the fused trainer compiled one program per bucket actually drawn
+    drawn = {size for (_, size) in tr_f._fused_steps}
+    assert drawn and drawn <= set(sizes)
     assert int(jax.device_get(tr_f.state.step)) == 4
     np.testing.assert_allclose(last_f["loss"], last_u["loss"],
                                rtol=1e-5, atol=1e-6)
