@@ -714,6 +714,16 @@ def _qconv(x, qp, *, stride=(1, 1), pad=0, groups=1, act="linear",
     else:
         xq = jnp.clip(jnp.round(x * qp["inv_sx"].astype(x.dtype)),
                       -127, 127).astype(jnp.int8)
+    # chain-internal 1x1 convs: one VMEM pass (s8 GEMM + fused dequant/act/
+    # requant) instead of conv->bf16->multiply_add->clamp_convert bouncing
+    # ~9 B/elem through HBM (XLA's conv emitter can't store s8; see
+    # ops/pallas_qgemm.py). Bit-exact with the path below.
+    from ..ops import pallas_qgemm as PQ
+    if (PQ._SCOPE == "all"
+            and PQ.usable(xq, qp["wq"], stride=stride, pad=pad,
+                          groups=groups)):
+        return PQ.qgemm(xq, qp["wq"][0, 0], qp["scale"], qp["b"], act,
+                        out_inv_s=qp.get("out_inv_s"), out_dtype=out_dtype)
     y = jax.lax.conv_general_dilated(
         xq, qp["wq"], window_strides=stride, padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -747,6 +757,13 @@ def _qconv_s2d(x, qp, fp, role, *, act="linear", out_dtype=jnp.bfloat16):
         wq, sw = _quant_weight(wt)
         b = fp["b"] if role == "x3" else jnp.repeat(fp["b"], 4)
     s, pad = L._S2D_GEOM[role]
+    # interior 1x1 (kron) convs are 1x1 convs in the s2d basis too -> the
+    # same one-pass Pallas GEMM as chain-internal 1x1s (see _qconv)
+    from ..ops import pallas_qgemm as PQ
+    if role == "i1" and PQ.usable(xq, wq, stride=(s, s), pad=0, groups=1):
+        sx = 1.0 / qp["inv_sx"]
+        return PQ.qgemm(xq, wq[0, 0], sw * sx, b, act,
+                        out_inv_s=qp.get("out_inv_s"), out_dtype=out_dtype)
     y = jax.lax.conv_general_dilated(
         xq, wq, window_strides=(s, s), padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

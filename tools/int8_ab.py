@@ -37,7 +37,7 @@ def build(ir, mode, args, folded, stats):
     graph — the A/B for whether the int8 stem's standalone mid-activation
     quantize pass (1.03 GB/step at bs16, HLO round-4 profile) pays for the
     int8 stem convs."""
-    base = mode.split("+")[0]
+    base = mode.replace("+qgemm", "").replace("-qgemm", "").split("+")[0]
     qvars = jax.jit(lambda f: Q.quantize(
         ir, f, stats, mode=base, hw=(args.height, args.width)))(folded)
     jax.block_until_ready(qvars)
@@ -93,12 +93,19 @@ def main():
     xv = jnp.asarray(rng.random(shape, dtype=np.float32), jnp.bfloat16)
     xl = jnp.asarray(rng.random(shape, dtype=np.float32), jnp.bfloat16)
 
+    from double_yolo_kaist_tpu.ops import pallas_qgemm as PQ
+
     for m in args.modes:                      # compile+warm both loop lengths
+        # "+qgemm"/"-qgemm" suffixes flip the Pallas 1x1-GEMM gate for THIS
+        # leg's trace (the gate is read at trace time, i.e. during warm)
+        PQ._ENABLED = ("-qgemm" not in m) and (
+            "+qgemm" in m or PQ._ENABLED)
         qv, lj = progs[m]
         t = time.perf_counter()
         np.asarray(lj(qv, xv, xl, 1))
         np.asarray(lj(qv, xv, xl, 1 + args.iters))
-        print(f"# warm[{m}] {time.perf_counter() - t:.1f}s", flush=True)
+        print(f"# warm[{m}] {time.perf_counter() - t:.1f}s "
+              f"(qgemm={PQ._ENABLED})", flush=True)
 
     # alternating paired legs; min-over-rounds per (mode, leg)
     base_t = {m: [] for m in args.modes}
