@@ -196,3 +196,133 @@ def test_full_eval_stack_matches_reference(setup):
         (res["ap"], ref["ap"])
     assert res["lamr"] == pytest.approx(ref["lamr"], abs=0.03), \
         (res["lamr"], ref["lamr"])
+
+
+# --------------------------------------------------------------------------
+# North-star certification (round 4): 36 pairs, NATIVE 512x640, TRAINED
+# weights, dAP <= 0.002 — the bound BASELINE.md promises.
+#
+# Random-init models are degenerate for cross-framework AP comparison (BN
+# eval-stats wash the image signal out; whole grid columns emit BIT-EQUAL
+# confidences whose NMS tie-order no two frameworks break identically —
+# measured round 4: matched dets agree to <=4e-8 while tie swaps move AP by
+# ~0.08). tools/full_parity_certify.py therefore self-trains the torch
+# reference briefly on deterministic synthesized GT and freezes the result
+# as fixtures/fullparity/ (fp16 weights + GT); with trained weights the two
+# stacks matched EXACTLY (300-step run: 168/168 detections, min matched IoU
+# 1.0000, dAP = 0.00000). This test replays both FULL eval pipelines on
+# those fixtures and enforces the bound plus the per-detection match.
+
+FULLPARITY = os.path.join(os.path.dirname(__file__), "fixtures",
+                          "fullparity")
+MNV3_CFG = ("/root/reference/config/"
+            "kaist_dyolov4_mobilenetv3_fshare_global_cse3.cfg")
+
+
+@pytest.fixture(scope="module")
+def trained_setup(tmp_path_factory):
+    YOLO = load_reference_yolo()
+    _patch_torchvision_nms()
+    torch.manual_seed(0)
+    tm = YOLO(MNV3_CFG, img_size=(512, 640), verbose=False)
+    sd = torch.load(os.path.join(FULLPARITY, "mnv3_selftrained.fp16.pt"))
+    tm.load_state_dict({k: v.float() for k, v in sd.items()})
+    tm.eval()
+
+    gt = np.load(os.path.join(FULLPARITY, "gt.npz"))
+    stems = sorted(gt.files)
+    root = tmp_path_factory.mktemp("fullparity_native")
+    img_dir = root / "images" / "set00"
+    lab_dir = root / "labels" / "set00"
+    img_dir.mkdir(parents=True)
+    lab_dir.mkdir(parents=True)
+    logical = []
+    for st in stems:
+        os.link(f"{IMG_DIR}/{st}_visible.jpg",
+                str(img_dir / f"{st}_visible.jpg"))
+        os.link(f"{IMG_DIR}/{st}_lwir.jpg", str(img_dir / f"{st}_lwir.jpg"))
+        with open(lab_dir / f"{st}.txt", "w") as f:
+            for r in gt[st]:
+                f.write("0 " + " ".join(f"{x:.6f}" for x in r[1:]) + "\n")
+        logical.append(str(img_dir / f"{st}.jpg"))
+    split = root / "mini.txt"
+    split.write_text("\n".join(logical) + "\n")
+    return str(split), tm, stems, [gt[st] for st in stems]
+
+
+def test_north_star_ap_parity_native(trained_setup):
+    split, tm, stems, labels = trained_setup
+    from build_utils.utils import non_max_suppression as ref_nms
+    from other_utils.metrics import compute_ap_lamr as ref_ap_lamr
+
+    vs, ls = [], []
+    for st in stems:
+        v0 = cv2.imread(f"{IMG_DIR}/{st}_visible.jpg")
+        l0 = cv2.imread(f"{IMG_DIR}/{st}_lwir.jpg")
+        assert v0.shape == (512, 640, 3)       # native: letterbox identity
+        vs.append(v0[:, :, ::-1].transpose(2, 0, 1).copy())
+        ls.append(l0[:, :, ::-1].transpose(2, 0, 1).copy())
+    vs = torch.from_numpy(np.stack(vs)).float() / 255
+    ls = torch.from_numpy(np.stack(ls)).float() / 255
+
+    ref_dets = {}
+    with torch.no_grad():
+        for i0 in range(0, len(stems), 4):
+            io, _ = tm(vs[i0:i0 + 4], ls[i0:i0 + 4])
+            for k in range(io.shape[0]):
+                d = ref_nms(io[k:k + 1], conf_thres=0.10, iou_thres=0.6,
+                            multi_label=False)[0]
+                d = (np.zeros((0, 5), np.float32) if d is None
+                     else d.numpy()[:, :5])
+                d[:, [0, 2]] = d[:, [0, 2]].clip(0, 640)   # utils.py:83-93
+                d[:, [1, 3]] = d[:, [1, 3]].clip(0, 512)
+                ref_dets[i0 + k] = d
+    n_ref = sum(len(d) for d in ref_dets.values())
+    shapes = np.asarray([[640, 512]] * len(stems), np.float64)
+    preds = [{"img_id": i, "conf": float(b[4]), "bbox": b[:4]}
+             for i in range(len(stems)) for b in ref_dets[i]]
+    preds.sort(key=lambda p: -p["conf"])
+    ref_m = ref_ap_lamr(preds, [x.copy() for x in labels], shapes)
+
+    ir = compile_cfg(MNV3_CFG)
+    variables = from_torch_state_dict(ir, tm.state_dict())
+    ds = KaistDataset(split, img_size=640, batch_size=4, rect=True)
+    res = evaluate_dataset(ir, variables, ds, batch_size=4, conf_thres=0.10,
+                           iou_thres=0.6, multi_label=False,
+                           compute_dtype=jnp.float32)
+
+    print(f"\n[north-star] ref: n={n_ref} ap={ref_m['ap']:.5f} "
+          f"lamr={ref_m['lamr']:.5f} | ours: ap={res['ap']:.5f} "
+          f"lamr={res['lamr']:.5f}")
+    assert n_ref >= 100, "fixture degenerate — re-run full_parity_certify"
+
+    # THE bound (BASELINE.md: AP@0.5 within 0.2 pt)
+    assert res["ap"] == pytest.approx(ref_m["ap"], abs=0.002), \
+        (res["ap"], ref_m["ap"])
+    assert res["lamr"] == pytest.approx(ref_m["lamr"], abs=0.002), \
+        (res["lamr"], ref_m["lamr"])
+
+    # per-detection set match: every reference detection appears in ours
+    # with the same box and confidence (greedy by conf, IoU > 0.99,
+    # |dconf| < 1e-3 — fp32 accumulation-order differences only)
+    matched = 0
+    for i in range(len(stems)):
+        rb = ref_dets[i]
+        ob, osc = res["predictions"].get(i, (np.zeros((0, 4)), np.zeros(0)))
+        if not len(rb):
+            continue
+        assert len(ob), f"image {i}: ours empty, ref has {len(rb)}"
+        ra = (rb[:, 2] - rb[:, 0]) * (rb[:, 3] - rb[:, 1])
+        oa = (ob[:, 2] - ob[:, 0]) * (ob[:, 3] - ob[:, 1])
+        lt = np.maximum(rb[:, None, :2], ob[None, :, :2])
+        rbr = np.minimum(rb[:, None, 2:4], ob[None, :, 2:4])
+        inter = np.clip(rbr - lt, 0, None).prod(-1)
+        iou = inter / (ra[:, None] + oa[None, :] - inter + 1e-12)
+        used = np.zeros(len(ob), bool)
+        for ri in np.argsort(-rb[:, 4]):
+            j = int(np.argmax(iou[ri] - used * 10))
+            if iou[ri, j] > 0.99 and not used[j] \
+                    and abs(rb[ri, 4] - osc[j]) < 1e-3:
+                used[j] = True
+                matched += 1
+    assert matched >= 0.99 * n_ref, (matched, n_ref)
