@@ -17,9 +17,14 @@ Applies to:
     s2d basis an interior 1x1 conv is still a 1x1 conv with 4C lanes,
     i.e. the same GEMM with K = 4C.
 
-Numerics are BIT-EXACT with the XLA path: the integer matmul is exact, and
-the epilogue replays the same dtype sequence (s32 -> out_dtype multiply-add
-in out_dtype, activation in out_dtype, requant round/clip in out_dtype).
+Numerics: the integer matmul is exact, and the epilogue replays the XLA
+path's dtype sequence (s32 -> out_dtype multiply-add in out_dtype,
+activation in out_dtype, requant round/clip in out_dtype). Exactness vs the
+jnp reference is up to XLA's excess-precision freedom on bf16 chains (XLA
+may keep the epilogue in f32 registers where the kernel materializes bf16
+per step), which can flip requant rounding boundaries by 1 int8 LSB on a
+few % of elements — both are valid emissions of the same bf16 program
+(tests/test_pallas_qgemm.py pins exactly this contract).
 
 Gated by DYK_PALLAS_QGEMM (default on for TPU; anything else falls back to
 the XLA path). Only used when the input already arrives s8 (chain edges) —
@@ -45,7 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 #     clamp_convert passes): 934.9 vs 938.3 — a wash; the MXU GEMM is no
 #     faster than XLA's conv there, so the saved epilogue traffic only
 #     cancels the kernel's own overheads.
-# The kernel stays: it is bit-exact, compiled-validated on v5e, and the
+# The kernel stays: its integer core is exact (epilogue within 1 int8 LSB
+# of XLA's excess-precision emission), compiled-validated on v5e, and the
 # honest record of the VERDICT-r3 "Pallas conv at the s2d seam" lever.
 _ENABLED = os.environ.get("DYK_PALLAS_QGEMM", "0") != "0"
 _SCOPE = os.environ.get("DYK_PALLAS_QGEMM_SCOPE", "i1")
