@@ -31,8 +31,93 @@ from __future__ import annotations
 import math
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
+
+
+# ----------------------------------------------------- resample as matmuls
+#
+# TPU-native formulation of the geometric stages. Gathers on TPU run far
+# below HBM bandwidth (~55 GB/s measured on canvas-shaped row+column takes,
+# tools/archive/layout_probe.py — layout-independent), which made
+# resize/mosaic/affine ~90% of the round-3 augment cost (30.6 of 32.5
+# ms/batch, tools/fused_train_probe.py --stages). Every one of those stages
+# is a SEPARABLE axis resample: out = RowM @ img @ ColM^T per channel,
+# where RowM/ColM have <=2 nonzeros per row — bilinear taps (resize,
+# axis-aligned affine) or shifted indicators (mosaic paste). As matmuls the
+# data movement rides the MXU at a tiny FLOP cost instead of the gather
+# unit. Tap positions, index clipping, zero-border masks, and lerp weights
+# replicate the gather implementations exactly; the only numeric difference
+# is accumulation (f32 matmul accumulate vs chained elementwise lerp) —
+# LSB-level, bounded by tests/test_augment_mm.py.
+
+
+def _matmul_resample(img, rm, cm):
+    """img (..., H, W, C) x rm (..., H', H) x cm (..., W', W) ->
+    (..., H', W', C); leading dims of rm/cm broadcast against img's.
+    f32 accumulation (HIGHEST precision: on TPU the MXU's bf16 passes would
+    otherwise truncate f32 pixels; rows have <=2 nonzero taps so this is
+    the gather path's lerp arithmetic, f32-accumulated)."""
+    hp = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("...hwc,...oh->...owc", img, rm, precision=hp,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("...owc,...pw->...opc", y, cm, precision=hp,
+                   preferred_element_type=jnp.float32)
+    return y.astype(img.dtype)
+
+
+def _lerp_matrix_resize(out_n: int, in_n: int, scale: float, dtype):
+    """Static resize interpolation matrix: EXACTLY resize_bilinear's taps
+    (half-pixel centers, clipped base index, weight clipped to [0,1], second
+    tap min(i0+1, n-1); coincident taps accumulate to weight 1)."""
+    c = (np.arange(out_n, dtype=np.float32) + 0.5) * scale - 0.5
+    i0 = np.clip(np.floor(c), 0, in_n - 1)
+    w = np.clip(c - i0, 0.0, 1.0)
+    i1 = np.minimum(i0 + 1, in_n - 1)
+    m = np.zeros((out_n, in_n), np.float32)
+    np.add.at(m, (np.arange(out_n), i0.astype(np.int64)), 1.0 - w)
+    np.add.at(m, (np.arange(out_n), i1.astype(np.int64)), w)
+    return jnp.asarray(m.astype(dtype))
+
+
+def resize_bilinear_mm(img, out_h: int, out_w: int, dtype=jnp.float32):
+    """resize_bilinear as two static-matrix matmuls (same taps/weights)."""
+    x = img.astype(dtype)
+    h, w = x.shape[-3], x.shape[-2]
+    rm = _lerp_matrix_resize(out_h, h, h / out_h, dtype)
+    cm = _lerp_matrix_resize(out_w, w, w / out_w, dtype)
+    return _matmul_resample(x, rm, cm)
+
+
+def _lerp_matrix_warp(src_pos, in_n: int, dtype):
+    """Dynamic warp interpolation matrix: EXACTLY _warp_bilinear's separable
+    taps — floor base (no clip on the weight), taps at clip(i,0,n-1), each
+    masked by its own in-bounds test (zero border)."""
+    i0 = jnp.floor(src_pos)
+    w = (src_pos - i0).astype(dtype)
+    ar = jnp.arange(in_n, dtype=jnp.float32)
+
+    def tap(i, tw):
+        inb = (i >= 0) & (i < in_n)
+        ic = jnp.clip(i, 0, in_n - 1)
+        return jnp.where(inb[..., None],
+                         (ar == ic[..., None]).astype(dtype) * tw[..., None],
+                         jnp.zeros((), dtype))
+
+    return tap(i0, 1.0 - w) + tap(i0 + 1, w)
+
+
+def _shift_matrix(offset, lo, hi, out_n: int, in_n: int, dtype):
+    """Mosaic paste row/col matrix: indicator of src = clip(out - offset)
+    masked to out in [lo, hi) — EXACTLY mosaic_place's clipped take +
+    rectangular `inside` mask, separated per axis."""
+    yy = jnp.arange(out_n, dtype=jnp.int32)
+    src = jnp.clip(yy - offset, 0, in_n - 1)
+    inr = (yy >= lo) & (yy < hi)
+    ar = jnp.arange(in_n, dtype=jnp.int32)
+    return ((ar[None, :] == src[:, None]) & inr[:, None]).astype(dtype)
 
 
 # -------------------------------------------------------------- resize / pad
@@ -227,7 +312,8 @@ def _warp_bilinear(img, minv, out_h: int, out_w: int,
 
 def random_affine_batch(key, v_imgs, l_imgs, labels, lmask, *,
                         degrees=0.0, translate=0.0, scale=0.0, shear=0.0,
-                        border: int = 0, Ms=None, separable=None):
+                        border: int = 0, Ms=None, separable=None,
+                        resample: str = "gather"):
     """Batched random affine of both modalities + label transform.
 
     labels: (B, T, 5) [cls, x1, y1, x2, y2] absolute in the source frame.
@@ -244,7 +330,11 @@ def random_affine_batch(key, v_imgs, l_imgs, labels, lmask, *,
     that pre-sample ``Ms`` MUST pass it explicitly (enforced — the
     degrees/shear defaults say nothing about matrices sampled elsewhere,
     and silently taking the separable path would warp pixels axis-aligned
-    while the label transform below uses the full rotated M)."""
+    while the label transform below uses the full rotated M).
+
+    ``resample`` (static): "gather" (the vmapped _warp_bilinear) or
+    "matmul" (separable only — per-image lerp matrices applied on the MXU,
+    see _matmul_resample; same taps/clips/borders, f32 accumulation)."""
     B, H, W = v_imgs.shape[0], v_imgs.shape[1], v_imgs.shape[2]
     out_h, out_w = H + border * 2, W + border * 2
     if separable is None:
@@ -260,10 +350,22 @@ def random_affine_batch(key, v_imgs, l_imgs, labels, lmask, *,
                               shear, border)
     M, s = Ms
     Minv = jnp.linalg.inv(M)
-    warp = jax.vmap(partial(_warp_bilinear, out_h=out_h, out_w=out_w,
-                            separable=separable))
-    v_out = warp(v_imgs, Minv)
-    l_out = warp(l_imgs, Minv)
+    if resample == "matmul" and separable:
+        dtype = (v_imgs.dtype if jnp.issubdtype(v_imgs.dtype, jnp.floating)
+                 else jnp.float32)
+        xs_c = jnp.arange(out_w, dtype=jnp.float32)
+        ys_c = jnp.arange(out_h, dtype=jnp.float32)
+        src_x = Minv[:, 0, 0, None] * xs_c + Minv[:, 0, 2, None]   # (B, W')
+        src_y = Minv[:, 1, 1, None] * ys_c + Minv[:, 1, 2, None]   # (B, H')
+        rm = _lerp_matrix_warp(src_y, H, dtype)                    # (B,H',H)
+        cm = _lerp_matrix_warp(src_x, W, dtype)                    # (B,W',W)
+        v_out = _matmul_resample(v_imgs.astype(dtype), rm, cm)
+        l_out = _matmul_resample(l_imgs.astype(dtype), rm, cm)
+    else:
+        warp = jax.vmap(partial(_warp_bilinear, out_h=out_h, out_w=out_w,
+                                separable=separable))
+        v_out = warp(v_imgs, Minv)
+        l_out = warp(l_imgs, Minv)
 
     # transform the 4 corners of every box (reference kaist_dataset.py:452-462)
     x1, y1 = labels[..., 1], labels[..., 2]
@@ -389,6 +491,70 @@ def mosaic_place(v4, l4, lab4, lm4, centers, img_size: int):
             out_m.append(lm[i])
         return canvas_v, canvas_l, jnp.concatenate(out_lab, 0), \
             jnp.concatenate(out_m, 0)
+
+    return jax.vmap(place_one)(v4, l4, lab4, lm4, centers)
+
+
+def mosaic_place_mm(v4, l4, lab4, lm4, centers, img_size: int):
+    """mosaic_place on the MXU: each quadrant paste is a row-shift matrix x
+    tile x col-shift matrix (indicator matrices carry the clipped source
+    take AND the rectangular `inside` range — mosaic_place's jnp.where mask,
+    separated per axis); quadrant rectangles are disjoint by construction so
+    the where-chain is a sum. Labels/masks: identical code path."""
+    s = img_size
+
+    def place_one(vi, li, lab, lm, center):
+        xr, yr = center[0], center[1]
+        h, w = vi.shape[1], vi.shape[2]
+        dtype = (vi.dtype if jnp.issubdtype(vi.dtype, jnp.floating)
+                 else jnp.float32)
+        canvas_v = jnp.zeros((2 * s, 2 * s, vi.shape[-1]), jnp.float32)
+        canvas_l = jnp.zeros_like(canvas_v)
+        out_lab, out_m = [], []
+        for i in range(4):
+            # corner/offset math: verbatim mosaic_place (reference
+            # kaist_dataset.py:239-254)
+            if i == 0:
+                x1a, y1a = jnp.maximum(xr - w, 0), jnp.maximum(yr - h, 0)
+                x2a, y2a = xr, yr
+            elif i == 1:
+                x1a, y1a = xr, jnp.maximum(yr - h, 0)
+                x2a, y2a = jnp.minimum(xr + w, 2 * s), yr
+            elif i == 2:
+                x1a, y1a = jnp.maximum(xr - w, 0), yr
+                x2a, y2a = xr, jnp.minimum(2 * s, yr + h)
+            else:
+                x1a, y1a = xr, yr
+                x2a, y2a = jnp.minimum(xr + w, 2 * s), jnp.minimum(2 * s, yr + h)
+            if i == 0:
+                padw, padh = x1a - (w - (x2a - x1a)), y1a - (h - (y2a - y1a))
+            elif i == 1:
+                padw, padh = x1a - 0, y1a - (h - (y2a - y1a))
+            elif i == 2:
+                padw, padh = x1a - (w - (x2a - x1a)), y1a - 0
+            else:
+                padw, padh = x1a - 0, y1a - 0
+
+            rm = _shift_matrix(padh, y1a, y2a, 2 * s, h, dtype)
+            cm = _shift_matrix(padw, x1a, x2a, 2 * s, w, dtype)
+            canvas_v = canvas_v + _matmul_resample(vi[i].astype(dtype),
+                                                   rm, cm)
+            canvas_l = canvas_l + _matmul_resample(li[i].astype(dtype),
+                                                   rm, cm)
+
+            lab_i = lab[i]
+            shifted = jnp.stack([
+                lab_i[:, 0],
+                jnp.clip(lab_i[:, 1] + padw, 0, 2 * s),
+                jnp.clip(lab_i[:, 2] + padh, 0, 2 * s),
+                jnp.clip(lab_i[:, 3] + padw, 0, 2 * s),
+                jnp.clip(lab_i[:, 4] + padh, 0, 2 * s)], -1)
+            out_lab.append(shifted)
+            out_m.append(lm[i])
+        dtype = (v4.dtype if jnp.issubdtype(v4.dtype, jnp.floating)
+                 else jnp.float32)
+        return canvas_v.astype(dtype), canvas_l.astype(dtype), \
+            jnp.concatenate(out_lab, 0), jnp.concatenate(out_m, 0)
 
     return jax.vmap(place_one)(v4, l4, lab4, lm4, centers)
 

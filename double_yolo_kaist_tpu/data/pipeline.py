@@ -48,7 +48,8 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
                           chunk: int | None = None,
                           from_pool: bool = False,
                           jit: bool = True,
-                          pix_dtype=None):
+                          pix_dtype=None,
+                          resample: str | None = None):
     """Build the jitted train-time augmentation program.
 
     src_hw: native image size (KAIST: (512, 640)); static.
@@ -92,6 +93,16 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
     label/box geometry always stays float32, and the train step consumes
     bf16 inputs anyway. Opt-in: pixel values differ from the float32 path
     by ~1 u8 LSB (lerp rounding), so parity-vs-reference tests run f32.
+
+    ``resample``: how the geometric stages move pixels — "matmul" (default;
+    resize/mosaic/axis-aligned-affine as MXU interpolation-matrix products,
+    augment.py "resample as matmuls": TPU gathers run ~25x below HBM
+    bandwidth and were ~90% of augment device time) or "gather" (the
+    elementwise take/lerp forms — the reference-shaped implementation the
+    matmul path is tested against; also the fallback when the affine is
+    not axis-aligned). Env DYK_AUG_RESAMPLE overrides when unset. Pixel
+    values differ at the accumulation-rounding level only (<=1 u8 LSB,
+    tests/test_augment_mm.py); labels/masks are bit-identical.
     """
     s = img_size
     r = s / max(src_hw)
@@ -100,6 +111,12 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
         pix_dtype = (jnp.bfloat16
                      if os.environ.get("DYK_AUG_DTYPE", "") in
                      ("bf16", "bfloat16") else jnp.float32)
+    if resample is None:
+        resample = os.environ.get("DYK_AUG_RESAMPLE", "matmul")
+    if resample not in ("matmul", "gather"):
+        raise ValueError(f"resample must be 'matmul' or 'gather', "
+                         f"got {resample!r}")
+    mm = resample == "matmul"
     if chunk is None:
         chunk = int(os.environ.get("DYK_AUG_CHUNK", "8"))
     n_snow, n_thr, cut_step = 80, 24, 32   # quadra-path cutout settings
@@ -108,11 +125,13 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
     def heavy(v_u8, l_u8, lab, lmask, idx, centers, cut_u, Ms, hsv_r, do):
         """Resize -> mosaic paste -> CLAHE/cutout -> affine -> HSV -> flip
         for one group of canvases; all randomness comes in as arguments."""
-        v4t = A.resize_bilinear(v_u8[idx], h1, w1,
-                                dtype=pix_dtype)      # (b, 4, h1, w1, 3)
-        l4t = A.resize_bilinear(l_u8[idx], h1, w1, dtype=pix_dtype)
-        v4, l4, lab4, m4 = A.mosaic_place(v4t, l4t, lab[idx], lmask[idx],
-                                          centers, s)
+        resize = A.resize_bilinear_mm if mm else A.resize_bilinear
+        place = A.mosaic_place_mm if mm else A.mosaic_place
+        v4t = resize(v_u8[idx], h1, w1,
+                     dtype=pix_dtype)                 # (b, 4, h1, w1, 3)
+        l4t = resize(l_u8[idx], h1, w1, dtype=pix_dtype)
+        v4, l4, lab4, m4 = place(v4t, l4t, lab[idx], lmask[idx],
+                                 centers, s)
         if snowflake or clahe:
             # snowflake=True matches the reference (snowflake_cutout
             # applies CLAHE internally, snowflake.py:67-69). Standalone
@@ -134,7 +153,8 @@ def make_train_augment_fn(src_hw, img_size: int, hyp: dict,
         v4, l4, lab4, m4 = A.random_affine_batch(
             None, v4, l4, lab4, m4, border=-s // 2, Ms=Ms,
             separable=(hyp.get("degrees", 0.0) == 0.0
-                       and hyp.get("shear", 0.0) == 0.0))
+                       and hyp.get("shear", 0.0) == 0.0),
+            resample="matmul" if mm else "gather")
 
         v4, l4 = A.hsv_jitter(None, v4, l4, 0, 0, 0, gains=hsv_r)
 
@@ -552,7 +572,8 @@ def train_batches(dataset, batch_size: int, key, *, img_size,
         sig = (src_hw, s, tuple(sorted(hyp.items())), snowflake, clahe,
                epoch_partners, pool is not None,
                os.environ.get("DYK_AUG_DTYPE", ""),
-               os.environ.get("DYK_AUG_CHUNK", ""))
+               os.environ.get("DYK_AUG_CHUNK", ""),
+               os.environ.get("DYK_AUG_RESAMPLE", ""))
         if sig not in _TRAIN_AUG_CACHE:
             while len(_TRAIN_AUG_CACHE) >= _TRAIN_AUG_CACHE_MAX:
                 _TRAIN_AUG_CACHE.pop(next(iter(_TRAIN_AUG_CACHE)))

@@ -134,7 +134,8 @@ def make_multi_step(ir, hyp: dict, tx, *, gr: float = 1.0,
 
 def make_fused_multi_step(ir, hyp: dict, tx, aug_fn, *, gr: float = 1.0,
                           compute_dtype=jnp.bfloat16, ema_decay: float = 0.9999,
-                          remat_segments: int = 0, images_in: bool = False):
+                          remat_segments: int = 0, images_in: bool = False,
+                          double_buffer: bool = False):
     """K steps per dispatch with ON-DEVICE augmentation inside the scan.
 
     The fully device-resident training loop: the host sends only batch
@@ -162,8 +163,24 @@ def make_fused_multi_step(ir, hyp: dict, tx, aug_fn, *, gr: float = 1.0,
     HBM-resident (pinned-host pool or streaming): the rows arrive by
     host-side gather/upload but the K augment+step programs still collapse
     into one dispatch. Bit-identical to the pool path (same u8 rows, same
-    keys)."""
+    keys).
+
+    ``double_buffer`` (pool path only): carry one pre-augmented batch
+    through the scan so iteration i's augment (batch i+1) has NO data
+    dependence on iteration i's train step — the overlap experiment of
+    VERDICT r3 item 4. Batch 0 is augmented in a prologue before the scan
+    and the xs are rolled by one, so the trained batches, augment keys, and
+    step rng chain are IDENTICAL to the plain path (the rolled-around last
+    augment recomputes batch 0 and is discarded — ~1/K extra augment work).
+    A single-TensorCore TPU executes fusions serially, so any win must come
+    from scheduler-level interleaving of the augment's gather/DMA traffic
+    with the step's MXU work; measured by tools/fused_train_probe.py
+    --double-buffer."""
     specs = LS.head_specs(ir)
+    if double_buffer and images_in:
+        raise ValueError("double_buffer is a pool-path experiment; "
+                         "combine it with images_in once it has a reason "
+                         "to exist there")
 
     update_one = _make_update_one(ir, specs, hyp, tx, gr=gr,
                                   compute_dtype=compute_dtype,
@@ -184,6 +201,26 @@ def make_fused_multi_step(ir, hyp: dict, tx, aug_fn, *, gr: float = 1.0,
                 return (new_state, jax.random.fold_in(rng, 1)), metrics
 
             (state, _), metrics = jax.lax.scan(one_step, (state, rng), xs)
+            return state, metrics
+    elif double_buffer:
+        def multi(state: TrainState, pool_v, pool_l, xs: dict, aug_key, rng):
+            def aug_of(x):
+                return aug_fn(jax.random.fold_in(aug_key, x["b0"]),
+                              pool_v, pool_l, x["load"], x["targets"],
+                              x["tmask"])
+
+            batch0 = aug_of(jax.tree.map(lambda a: a[0], xs))
+            xs_next = jax.tree.map(lambda a: jnp.roll(a, -1, axis=0), xs)
+
+            def one_step(carry, x):
+                state, rng, batch = carry
+                next_batch = aug_of(x)            # batch i+1: independent
+                new_state, metrics = run_one(state, rng, batch)   # batch i
+                return (new_state, jax.random.fold_in(rng, 1),
+                        next_batch), metrics
+
+            (state, _, _), metrics = jax.lax.scan(
+                one_step, (state, rng, batch0), xs_next)
             return state, metrics
     else:
         def multi(state: TrainState, pool_v, pool_l, xs: dict, aug_key, rng):

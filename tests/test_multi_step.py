@@ -124,6 +124,55 @@ def test_fused_images_in_matches_pool_variant():
     assert int(jax.device_get(s2.step)) == K
 
 
+def test_fused_double_buffer_matches_plain():
+    """make_fused_multi_step(double_buffer=True) — the scan-carried
+    one-slot augment buffer (overlap experiment, VERDICT r3 item 4) — must
+    train exactly the batches of the plain fused path: same augment keys,
+    same step rng chain, identical final state and metrics (up to XLA's
+    fusion/excess-precision freedom: routing the augment output through
+    the scan carry changes fusion boundaries, so isolated f32 ulps may
+    differ — same tolerance as the images_in variant)."""
+    from double_yolo_kaist_tpu.data.pipeline import make_train_augment_fn
+    from double_yolo_kaist_tpu.train.step import make_fused_multi_step
+
+    ir = compile_cfg(TINY, yolo_strides=[8, 4])
+    tx = OPT.make_optimizer(FULL_HYP, lambda s: 1e-3, sgd=True)
+    src_hw, K, B, N = (128, 160), 3, 2, 8
+    rng = np.random.default_rng(11)
+    pool_v = jnp.asarray(rng.integers(0, 256, (N, *src_hw, 3), np.uint8))
+    pool_l = jnp.asarray(rng.integers(0, 256, (N, *src_hw, 3), np.uint8))
+    t, m = LS.pad_labels(
+        [np.asarray([[0, 0.5, 0.5, 0.2, 0.4]], np.float32)] * B, 4)
+    xs = {"b0": np.arange(K, dtype=np.int32) * B,
+          "load": rng.integers(0, N, (K, 4 * B)).astype(np.int32),
+          "targets": np.broadcast_to(t, (K,) + t.shape).copy(),
+          "tmask": np.broadcast_to(m, (K,) + m.shape).copy()}
+    aug_key, step_rng = jax.random.PRNGKey(3), jax.random.PRNGKey(4)
+    aug = make_train_augment_fn(src_hw, 64, FULL_HYP, from_pool=True,
+                                jit=False)
+
+    states = []
+    for db in (False, True):
+        fused = make_fused_multi_step(ir, FULL_HYP, tx, aug,
+                                      compute_dtype=jnp.float32,
+                                      double_buffer=db)
+        s = create_train_state(ir, jax.random.PRNGKey(0), tx)
+        s, met = fused(s, pool_v, pool_l, xs, aug_key, step_rng)
+        states.append((s, met))
+
+    (s1, m1), (s2, m2) = states
+    np.testing.assert_allclose(np.asarray(m2["loss"]), np.asarray(m1["loss"]),
+                               rtol=1e-6, atol=1e-7)
+    # weights after K lr=1e-3 steps: ulp-level augment differences surface
+    # as ~1e-7 absolute on small-magnitude leaves (a wrong batch would be
+    # ~1e-2); atol dominates the check
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        s2.params, s1.params)
+    assert int(jax.device_get(s2.step)) == K
+
+
 def test_fused_trainer_epoch_matches_unfused(tmp_path):
     """The fused augment+train dispatch (device pool + scan, Trainer's
     steps_per_dispatch>1 fast path) produces the same parameters as the
