@@ -36,7 +36,7 @@ def make_handler(predictor, model_name: str):
     a MicroBatcher (requests coalesce across handler threads)."""
     import cv2
 
-    from double_yolo_kaist_tpu.serving import MicroBatcher
+    from double_yolo_kaist_tpu.serving import MicroBatcher, QueueFull
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
@@ -78,6 +78,9 @@ def make_handler(predictor, model_name: str):
                 self._send(200, {"boxes": boxes.tolist(),
                                  "scores": scores.tolist(),
                                  "classes": classes.tolist()})
+            except QueueFull as e:  # shed load instead of queueing forever
+                self._send(503, {"error": f"overloaded: {e}",
+                                 "retry": True})
             except Exception as e:  # noqa: BLE001 — report to client
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -131,6 +134,10 @@ def main(argv=None):
                    help="optionally hold the first request of a batch this "
                         "long so more arrivals join (trades tail latency "
                         "for bigger buckets at moderate load)")
+    p.add_argument("--max-queue", type=int, default=256,
+                   help="shed load (HTTP 503) once this many requests are "
+                        "queued behind the device instead of growing tail "
+                        "latency without bound; 0 = unbounded")
     p.add_argument("--port", type=int, default=8321)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--no-warmup", action="store_true",
@@ -183,7 +190,8 @@ def main(argv=None):
             # coalesced groups fill the artifact's compiled batch instead of
             # each request padding it alone
             predictor = MicroBatcher(predictor, max_batch=opt.microbatch,
-                                     max_wait_ms=opt.microbatch_wait_ms)
+                                     max_wait_ms=opt.microbatch_wait_ms,
+                                     max_queue=opt.max_queue or None)
         server = ThreadingHTTPServer(
             (opt.host, opt.port),
             make_handler(predictor, os.path.basename(opt.exported)))
@@ -234,7 +242,8 @@ def main(argv=None):
         from double_yolo_kaist_tpu.serving import MicroBatcher
 
         predictor = MicroBatcher(predictor, max_batch=opt.microbatch,
-                                 max_wait_ms=opt.microbatch_wait_ms)
+                                 max_wait_ms=opt.microbatch_wait_ms,
+                                 max_queue=opt.max_queue or None)
     server = ThreadingHTTPServer(
         (opt.host, opt.port),
         make_handler(predictor, os.path.basename(str(opt.cfg))))

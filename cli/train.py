@@ -11,7 +11,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax.numpy as jnp  # noqa: E402
 
-from cli.common import DEFAULT_HYP, build_model  # noqa: E402
+from cli.common import DEFAULT_HYP, build_model, str2bool  # noqa: E402
 from double_yolo_kaist_tpu.config.parser import load_hyp, parse_data_cfg  # noqa: E402
 from double_yolo_kaist_tpu.data.dataset import KaistDataset  # noqa: E402
 from double_yolo_kaist_tpu.train.trainer import Trainer  # noqa: E402
@@ -21,7 +21,7 @@ from double_yolo_kaist_tpu.utils.general import enable_compile_cache  # noqa: E4
 enable_compile_cache()
 
 
-def main(argv=None):
+def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--batch-size", type=int, default=16)
@@ -42,13 +42,17 @@ def main(argv=None):
                         "kaist_dataset.py clahe option; --snow already "
                         "includes CLAHE before its cutout)")
     p.add_argument("--ema", action="store_true")
-    p.add_argument("--single-cls", type=bool, default=True)
+    p.add_argument("--single-cls", type=str2bool, nargs="?",
+                   const=True, default=True,
+                   help="treat all classes as one (reference --single-cls); accepts an explicit True/False")
     p.add_argument("--anchor-cluster", action="store_true")
     p.add_argument("--cache-images", choices=("ram", "disk"), default=None,
                    help="cache decoded pairs (reference --cache-images; "
                         "'disk' writes raw .npy next to the split file — "
                         "epochs after the first skip JPEG decode entirely)")
-    p.add_argument("--save-best", type=bool, default=True)
+    p.add_argument("--save-best", type=str2bool, nargs="?",
+                   const=True, default=True,
+                   help="save best.ckpt on in-train eval improvement; accepts an explicit True/False")
     p.add_argument("--notest", action="store_true")
     p.add_argument("--accumulate", type=int, default=1,
                    help="gradient accumulation steps (reference used "
@@ -75,7 +79,11 @@ def main(argv=None):
                         "pinned-host pool (zero HBM, DYK_HOST_CACHE_GB "
                         "default 16 GB), else streams; off if training "
                         "runs out of device memory")
-    opt = p.parse_args(argv)
+    return p
+
+
+def main(argv=None):
+    opt = make_parser().parse_args(argv)
 
     # multi-host opt-in (DYK_DISTRIBUTED=1 + JAX coordinator env vars);
     # single-process behavior unchanged

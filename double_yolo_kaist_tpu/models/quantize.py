@@ -760,7 +760,8 @@ def _qconv_s2d(x, qp, fp, role, *, act="linear", out_dtype=jnp.bfloat16):
     # interior 1x1 (kron) convs are 1x1 convs in the s2d basis too -> the
     # same one-pass Pallas GEMM as chain-internal 1x1s (see _qconv)
     from ..ops import pallas_qgemm as PQ
-    if role == "i1" and PQ.usable(xq, wq, stride=(s, s), pad=0, groups=1):
+    if (role == "i1" and PQ._SCOPE in ("i1", "all")
+            and PQ.usable(xq, wq, stride=(s, s), pad=0, groups=1)):
         sx = 1.0 / qp["inv_sx"]
         return PQ.qgemm(xq, wq[0, 0], sw * sx, b, act,
                         out_inv_s=qp.get("out_inv_s"), out_dtype=out_dtype)

@@ -26,9 +26,11 @@ per step), which can flip requant rounding boundaries by 1 int8 LSB on a
 few % of elements — both are valid emissions of the same bf16 program
 (tests/test_pallas_qgemm.py pins exactly this contract).
 
-Gated by DYK_PALLAS_QGEMM (default on for TPU; anything else falls back to
-the XLA path). Only used when the input already arrives s8 (chain edges) —
-bf16 entries keep the XLA path where the quantize pass fuses upstream.
+Gated by DYK_PALLAS_QGEMM (default OFF — both scopes measured no faster
+than XLA on the chip, see the gate comment below; set DYK_PALLAS_QGEMM=1
+[+ DYK_PALLAS_QGEMM_SCOPE=i1|all] to enable). Only used when the input
+already arrives s8 (chain edges) — bf16 entries keep the XLA path where
+the quantize pass fuses upstream.
 """
 
 from __future__ import annotations
@@ -55,6 +57,10 @@ from jax.experimental.pallas import tpu as pltpu
 # honest record of the VERDICT-r3 "Pallas conv at the s2d seam" lever.
 _ENABLED = os.environ.get("DYK_PALLAS_QGEMM", "0") != "0"
 _SCOPE = os.environ.get("DYK_PALLAS_QGEMM_SCOPE", "i1")
+if _SCOPE not in ("i1", "all"):
+    raise ValueError(
+        f"DYK_PALLAS_QGEMM_SCOPE={_SCOPE!r}: must be 'i1' (s2d-region kron "
+        f"convs only) or 'all' (every quantized 1x1)")
 
 # MXU-aligned tiling; K and N stay whole (region/chain 1x1 convs have
 # K, N <= 1024, comfortably VMEM-resident alongside the x/out tiles)

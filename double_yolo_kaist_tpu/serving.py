@@ -330,6 +330,12 @@ class Predictor:
         return out
 
 
+class QueueFull(RuntimeError):
+    """Raised by MicroBatcher.submit when the pending queue exceeds
+    max_queue — the server should shed the request (HTTP 503) instead of
+    letting tail latency grow without bound."""
+
+
 class MicroBatcher:
     """Cross-request micro-batching: coalesce concurrent single-frame
     requests into one batched predictor call.
@@ -359,12 +365,16 @@ class MicroBatcher:
     """
 
     def __init__(self, predictor, *, max_batch: int = 16,
-                 max_wait_ms: float = 0.0):
+                 max_wait_ms: float = 0.0, max_queue: int | None = None):
         import threading
 
         self.predictor = predictor
         self.max_batch = int(max_batch)
         self.max_wait = float(max_wait_ms) / 1e3
+        # backpressure: beyond this many queued frames submit() fails fast
+        # with QueueFull (callers map it to HTTP 503) instead of blocking
+        # every server thread behind an unbounded queue
+        self.max_queue = None if max_queue is None else int(max_queue)
         self._lock = threading.Lock()
         self._arrived = threading.Condition(self._lock)
         self._pending: list = []       # [request dicts], FIFO
@@ -394,6 +404,11 @@ class MicroBatcher:
         with self._lock:
             if self._stop:
                 raise RuntimeError("MicroBatcher is closed")
+            if (self.max_queue is not None
+                    and len(self._pending) >= self.max_queue):
+                raise QueueFull(
+                    f"{len(self._pending)} requests already queued "
+                    f"(max_queue={self.max_queue})")
             self._pending.append(req)
             self._arrived.notify()
         req["done"].wait()

@@ -48,3 +48,24 @@ def test_train_cli(tmp_path):
     run_dir = tmp_path / "runs" / "smoke"
     assert (run_dir / "results.txt").exists()
     assert (run_dir / "results.txt").read_text().count("epoch:") == 1
+
+
+def test_bool_flags_parse_values():
+    """Regression for the argparse `type=bool` trap (VERDICT r4 weak 5):
+    `--single-cls False` must actually disable, not silently enable."""
+    import pytest
+
+    sys.path.insert(0, REPO)
+    from cli.train import make_parser
+
+    p = make_parser()
+    base = ["--cfg", "x.cfg"]
+    opt = p.parse_args(base)
+    assert opt.single_cls is True and opt.save_best is True
+    opt = p.parse_args(base + ["--single-cls", "False",
+                               "--save-best", "false"])
+    assert opt.single_cls is False and opt.save_best is False
+    opt = p.parse_args(base + ["--single-cls", "--save-best", "0"])
+    assert opt.single_cls is True and opt.save_best is False
+    with pytest.raises(SystemExit):
+        p.parse_args(base + ["--single-cls", "maybe"])

@@ -225,8 +225,11 @@ def trained_setup(tmp_path_factory):
     _patch_torchvision_nms()
     torch.manual_seed(0)
     tm = YOLO(MNV3_CFG, img_size=(512, 640), verbose=False)
-    sd = torch.load(os.path.join(FULLPARITY, "mnv3_selftrained.fp16.pt"))
-    tm.load_state_dict({k: v.float() for k, v in sd.items()})
+    # fp16 tensors as compressed npz — no pickle execution on load, and
+    # ~10% smaller than the .pt it replaced (ADVICE r4)
+    sd = np.load(os.path.join(FULLPARITY, "mnv3_selftrained.fp16.npz"))
+    tm.load_state_dict({k: torch.from_numpy(sd[k]).float()
+                        for k in sd.files})
     tm.eval()
 
     gt = np.load(os.path.join(FULLPARITY, "gt.npz"))

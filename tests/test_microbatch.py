@@ -175,3 +175,38 @@ def test_submit_after_close_raises():
     mb.close()
     with pytest.raises(RuntimeError):
         mb.submit(_frame(1))
+
+
+def test_max_queue_backpressure():
+    """submit() fails fast with QueueFull once max_queue frames are queued
+    behind a busy device (ADVICE r4: unbounded _pending let tail latency
+    grow without bound); the server maps it to HTTP 503."""
+    from double_yolo_kaist_tpu.serving import QueueFull
+
+    p = FakePredictor(delay=0.25)
+    mb = MicroBatcher(p, max_batch=1, max_queue=2)
+    try:
+        results, rejects = [], []
+
+        def worker(v):
+            try:
+                results.append(mb.submit(_frame(v)))
+            except QueueFull:
+                rejects.append(v)
+
+        # first request occupies the device; give the dispatcher time to
+        # take it so the queue is empty again
+        t0 = threading.Thread(target=worker, args=(1,))
+        t0.start()
+        time.sleep(0.1)
+        # burst of 5 while busy: 2 queue, 3 must be shed
+        ts = [threading.Thread(target=worker, args=(v,))
+              for v in (2, 3, 4, 5, 6)]
+        for t in ts:
+            t.start()
+            time.sleep(0.01)   # deterministic arrival order
+        for t in [t0] + ts:
+            t.join(timeout=10)
+        assert len(rejects) == 3 and len(results) == 3
+    finally:
+        mb.close()

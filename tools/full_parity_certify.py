@@ -206,8 +206,9 @@ def main():
 
     if args.refresh_fixture:
         os.makedirs(FIXTURE_DIR, exist_ok=True)
-        half = {k: v.half() for k, v in tm.state_dict().items()}
-        torch.save(half, os.path.join(FIXTURE_DIR, "mnv3_selftrained.fp16.pt"))
+        half = {k: v.half().numpy() for k, v in tm.state_dict().items()}
+        np.savez_compressed(
+            os.path.join(FIXTURE_DIR, "mnv3_selftrained.fp16.npz"), **half)
         np.savez_compressed(os.path.join(FIXTURE_DIR, "gt.npz"),
                             **{st: lab for st, lab in zip(stems, labels)})
         print(f"fixture refreshed under {FIXTURE_DIR}")

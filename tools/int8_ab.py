@@ -95,11 +95,14 @@ def main():
 
     from double_yolo_kaist_tpu.ops import pallas_qgemm as PQ
 
+    qgemm_env = PQ._ENABLED       # DYK_PALLAS_QGEMM default, captured once
     for m in args.modes:                      # compile+warm both loop lengths
         # "+qgemm"/"-qgemm" suffixes flip the Pallas 1x1-GEMM gate for THIS
-        # leg's trace (the gate is read at trace time, i.e. during warm)
-        PQ._ENABLED = ("-qgemm" not in m) and (
-            "+qgemm" in m or PQ._ENABLED)
+        # leg's trace (the gate is read at trace time, i.e. during warm).
+        # Derived purely from the CURRENT mode string + the captured env
+        # default — a '+qgemm' mode must not leave the gate sticky-on for a
+        # plain mode warmed after it.
+        PQ._ENABLED = "+qgemm" in m or (qgemm_env and "-qgemm" not in m)
         qv, lj = progs[m]
         t = time.perf_counter()
         np.asarray(lj(qv, xv, xl, 1))
