@@ -311,71 +311,73 @@ def yolov3_spp_fpn_head(b: NetBuilder, f8: int, f16: int, f32: int,
 
 
 def yolov4_spp_panet_head(b: NetBuilder, f8: int, f16: int, f32: int,
-                          anchors: list, nc: int):
+                          anchors: list, nc: int, w=lambda c: c):
     """YOLOv4 SPP + PANet head (reference kaist_yolov4.cfg layers 105-161):
     top-down FPN with lateral 1x1s, then bottom-up path aggregation; heads
-    fire small->large (strides 8, 16, 32). Leaky activations."""
+    fire small->large (strides 8, 16, 32). Leaky activations. ``w`` maps
+    nominal channel widths (identity for the published models; the
+    mini-flagship dryrun model scales them down)."""
     # P5: SPP block over the /32 feature
     if b.last != f32:
         b.route(f32)
-    b.conv(512, 1)
-    b.conv(1024)
-    b.conv(512, 1)
+    b.conv(w(512), 1)
+    b.conv(w(1024))
+    b.conv(w(512), 1)
     _spp(b)
-    b.conv(512, 1)
-    b.conv(1024)
-    p5 = b.conv(512, 1)
+    b.conv(w(512), 1)
+    b.conv(w(1024))
+    p5 = b.conv(w(512), 1)
 
     # top-down to /16
-    b.conv(256, 1)
+    b.conv(w(256), 1)
     up16 = b.upsample()
     b.route(f16)
-    lat16 = b.conv(256, 1)
+    lat16 = b.conv(w(256), 1)
     b.route(lat16, up16)
-    b.conv(256, 1)
-    b.conv(512)
-    b.conv(256, 1)
-    b.conv(512)
-    p4 = b.conv(256, 1)
+    b.conv(w(256), 1)
+    b.conv(w(512))
+    b.conv(w(256), 1)
+    b.conv(w(512))
+    p4 = b.conv(w(256), 1)
 
     # top-down to /8
-    b.conv(128, 1)
+    b.conv(w(128), 1)
     up8 = b.upsample()
     b.route(f8)
-    lat8 = b.conv(128, 1)
+    lat8 = b.conv(w(128), 1)
     b.route(lat8, up8)
-    b.conv(128, 1)
-    b.conv(256)
-    b.conv(128, 1)
-    b.conv(256)
-    p3 = b.conv(128, 1)
+    b.conv(w(128), 1)
+    b.conv(w(256))
+    b.conv(w(128), 1)
+    b.conv(w(256))
+    p3 = b.conv(w(128), 1)
 
     # head /8
-    b.conv(256)
+    b.conv(w(256))
     b.yolo(anchors, [0, 1, 2], nc)
 
     # bottom-up /8 -> /16
     b.route(p3)
-    b.conv(256, stride=2)
+    b.conv(w(256), stride=2)
     b.route(b.last, p4)
-    b.conv(256, 1)
-    b.conv(512)
-    b.conv(256, 1)
-    b.conv(512)
-    n4 = b.conv(256, 1)
-    b.conv(512)
+    b.conv(w(256), 1)
+    b.conv(w(512))
+    b.conv(w(256), 1)
+    b.conv(w(512))
+    n4 = b.conv(w(256), 1)
+    b.conv(w(512))
     b.yolo(anchors, [3, 4, 5], nc)
 
     # bottom-up /16 -> /32
     b.route(n4)
-    b.conv(512, stride=2)
+    b.conv(w(512), stride=2)
     b.route(b.last, p5)
-    b.conv(512, 1)
-    b.conv(1024)
-    b.conv(512, 1)
-    b.conv(1024)
-    b.conv(512, 1)
-    b.conv(1024)
+    b.conv(w(512), 1)
+    b.conv(w(1024))
+    b.conv(w(512), 1)
+    b.conv(w(1024))
+    b.conv(w(512), 1)
+    b.conv(w(1024))
     b.yolo(anchors, [6, 7, 8], nc)
 
 
@@ -670,6 +672,58 @@ def build_double_yolov4_global_fshare_cse3(nc: int = 1, anchors=None,
 
     yolov4_spp_panet_head(b, f8, f16, f32, anchors, nc)
     return b.compile([8, 16, 32], "yolov4", "built_dyolov4_gf_cse3")
+
+
+def build_mini_flagship(nc: int = 1, anchors=None, img_size: int = 64,
+                        div: int = 4) -> GraphIR:
+    """Reduced Double-YOLOv4-Fshare-Global-CSE3 for the multi-chip dryrun
+    (VERDICT r4 item 9): the SAME layer-type inventory and fusion topology
+    as build_double_yolov4_global_fshare_cse3 — twin CSP streams, FSNet
+    global sharing (route -> 3x3 conv -> SE), learned weighted reinjection
+    shortcuts, SPP + PANet head, three YOLO scales — at 1/div width and
+    depth 1, so the production 2-D data x space GSPMD partitioning (halo
+    exchanges through CSP routes, SE global pooling, SPP, upsample) is
+    exercised continuously within the driver's CPU-mesh budget instead of
+    hiding behind DYK_DRYRUN_SPATIAL=1."""
+    anchors = anchors or KAIST_ANCHORS_V4_SINGLE
+    w = lambda c: max(8, c // div)  # noqa: E731
+    b = NetBuilder(img_size, img_size)
+
+    def stem(bb):
+        bb.conv(w(32), act="mish")
+        csp_stage(bb, w(64), 1, first=True)
+        csp_stage(bb, w(128), 1)
+        return csp_stage(bb, w(256), 1)
+
+    v8 = stem(b)
+    b.net["second_index"] = b.last + 1
+    l8 = stem(b)
+
+    def fuse(vf, lf, ch, reinject_v=True):
+        b.route(vf, lf)
+        b.conv(ch)
+        shared = b.se(4)
+        if reinject_v:
+            b.shortcut(vf, weighted=True)
+        return shared
+
+    f8 = fuse(v8, l8, w(256))
+    v16 = csp_stage(b, w(512), 1)
+    b.route(f8)
+    b.shortcut(l8, weighted=True)
+    l16 = csp_stage(b, w(512), 1)
+
+    f16 = fuse(v16, l16, w(512))
+    v32 = csp_stage(b, w(1024), 1)
+    b.route(f16)
+    b.shortcut(l16, weighted=True)
+    l32 = csp_stage(b, w(1024), 1)
+
+    fuse(v32, l32, w(1024), reinject_v=False)
+    f32 = b.last
+
+    yolov4_spp_panet_head(b, f8, f16, f32, anchors, nc, w=w)
+    return b.compile([8, 16, 32], "yolov4", "built_mini_flagship")
 
 
 def build_double_yolov4_mnv2_global_fshare_cse3(nc: int = 1, anchors=None,
