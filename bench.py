@@ -178,7 +178,7 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 path only (skip the int8 leg)")
     ap.add_argument("--int8-mode", default="chain",
-                    choices=("seed", "chain", "all", "edge"),
+                    choices=("seed", "chain", "all", "edge", "spine", "spineall"),
                     help="PTQ plan: 3x3-only / int8 chains / all convs")
     ap.add_argument("--check-ap", action="store_true",
                     help="synthetic-data AP sanity instead of fps: overfit "

@@ -43,7 +43,7 @@ def main(argv=None):
     p.add_argument("--calibration-pct", type=float, default=100.0,
                    help="int8 calibration percentile (100 = exact max-abs)")
     p.add_argument("--int8-mode", default="chain",
-                   choices=("seed", "chain", "all", "edge"),
+                   choices=("seed", "chain", "all", "edge", "spine", "spineall"),
                    help="quantization plan: 3x3-only / int8 chains / all convs")
     p.add_argument("--int8-calib", default="",
                    help="calibration artifact (.npz, tools/calibrate.py): "

@@ -100,7 +100,7 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="serve the int8 PTQ path (calibrates on first request)")
     p.add_argument("--int8-mode", default="chain",
-                   choices=("seed", "chain", "all", "edge"))
+                   choices=("seed", "chain", "all", "edge", "spine", "spineall"))
     p.add_argument("--int8-calib", default="",
                    help="calibration artifact (.npz from tools/calibrate.py): "
                         "if it exists the server starts fully quantized; "

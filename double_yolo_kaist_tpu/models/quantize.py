@@ -83,7 +83,52 @@ def _chain_edge(ir: GraphIR, i: int, targets: set) -> bool:
             and not ir.nodes[j].takes_second_input)
 
 
-def plan_quantization(ir: GraphIR, mode: str = "chain"):
+def _plan_spine(ir: GraphIR, targets: set, plan: dict,
+                everywhere: bool = False) -> list:
+    """Residual-spine shortcuts whose output can carry int8 (mode='spine').
+
+    Eligible: a non-weighted single-partner add whose producing conv
+    (node s-1, the block 3x3) is quantized and whose NEXT node is a
+    standard conv with in_ch >= 16 reading the running stream. On the
+    flagship every one of the 46 residual adds qualifies: the block exit
+    feeds the next block's 1x1, which chain mode leaves fp because its
+    input used to arrive bf16. The spine flips that: the add emits s8
+    once (per-tensor scale = that 1x1's calibrated input amax, exactly
+    the scale its entry-quantize would use), the 1x1 joins the int8
+    targets reading the codes for free, and chains onward into the block
+    3x3 — the whole residual block becomes int8 (plan_quantization
+    re-runs the chain fixpoint over the enlarged target set). Every
+    other consumer (the next add's partner read) dequantizes at read
+    (1 B/elem instead of 2). The approximation is the partner reads:
+    each block's add sees q(dequant(q(...))) of the previous block, so
+    per-block quantization noise accumulates along the spine — which is
+    why the mode is AP-gated like every other int8 plan.
+
+    Default scope (mode='spine'): shortcuts INSIDE s2d regions (both
+    neighbours planned), where the round-4 HLO census localized the
+    standalone requantize passes. ``everywhere=True`` (mode='spineall')
+    extends to every eligible add — the full VERDICT-r4 lever."""
+    standard = {i for i in _standard_convs(ir) if ir.nodes[i].in_ch >= 16}
+    out = []
+    for node in ir.nodes:
+        if (node.kind != "shortcut" or node.weighted
+                or len(node.inputs) != 1):
+            continue
+        nxt = node.index + 1
+        if nxt >= len(ir.nodes) or (node.index - 1) not in targets:
+            continue
+        nn = ir.nodes[nxt]
+        if (nn.kind != "conv" or nn.index not in standard
+                or nn.takes_second_input):
+            continue
+        in_region = (node.index - 1) in plan and nxt in plan
+        if everywhere or in_region:
+            out.append(node.index)
+    return out
+
+
+def plan_quantization(ir: GraphIR, mode: str = "chain",
+                      s2d_plan: dict | None = None):
     """-> (targets: set of quantized conv indices,
            emits: {producer index -> inv output scale key holder}).
 
@@ -106,6 +151,9 @@ def plan_quantization(ir: GraphIR, mode: str = "chain"):
     if mode == "edge":
         targets, int8_out, _ = plan_edges(ir)
         return targets, {i for i, v in int8_out.items() if v}
+    if mode in ("spine", "spineall"):
+        targets, emits, _ = _plan_with_spine(ir, mode, s2d_plan or {})
+        return targets, emits
     # the thin-input rule (see _quantizable) applies to every mode: a conv
     # with in_ch < 16 never pays back its boundary passes
     standard = {i for i in _standard_convs(ir) if ir.nodes[i].in_ch >= 16}
@@ -127,6 +175,27 @@ def plan_quantization(ir: GraphIR, mode: str = "chain"):
         raise ValueError(f"unknown quantization mode {mode!r}")
     emits = {i for i in targets if _chain_edge(ir, i, targets)}
     return targets, emits
+
+
+def _plan_with_spine(ir: GraphIR, mode: str, s2d_plan: dict):
+    """spine/spineall: chain plan + the residual-spine shortcut set, with
+    the adds' following convs joining the targets (their input arrives as
+    free s8 from the add) and the chain fixpoint re-run over the enlarged
+    set -> (targets, emits, spine_indices)."""
+    targets, _ = plan_quantization(ir, "chain")
+    spine = _plan_spine(ir, targets, s2d_plan,
+                        everywhere=(mode == "spineall"))
+    targets |= {si + 1 for si in spine}
+    standard = {i for i in _standard_convs(ir) if ir.nodes[i].in_ch >= 16}
+    changed = True
+    while changed:
+        changed = False
+        for j in sorted(standard - targets):
+            if _chain_edge(ir, j - 1, targets | {j}):
+                targets.add(j)
+                changed = True
+    emits = {i for i in targets if _chain_edge(ir, i, targets)}
+    return targets, emits, spine
 
 
 def warn_if_empty_plan(ir: GraphIR, mode: str, fallback: str) -> bool:
@@ -648,13 +717,17 @@ def quantize(ir: GraphIR, folded: dict, stats: dict,
     if mode == "edge":
         return _quantize_edge(ir, folded, stats, hw, int8_stems)
     params = folded["params"]
-    targets, emits = plan_quantization(ir, mode)
     s2d_cands = G.s2d_candidates(ir) if G._S2D_REGION else set()
     stem = G.stem_fusion_pairs(ir) if G._FUSE_STEM else {}
     # hw: deployment size — precompute the transformed (+re-quantized)
     # s2d/stem kernels now, so apply_quantized contains zero per-call
     # weight-edit ops (same rationale as graph.prepare_folded)
     plan = G.s2d_plan(ir, *hw) if (hw and G._S2D_REGION) else {}
+    if mode in ("spine", "spineall"):
+        targets, emits, spine = _plan_with_spine(ir, mode, plan)
+    else:
+        targets, emits = plan_quantization(ir, mode)
+        spine = []
     q: dict = {}
     for node in ir.nodes:
         key = f"l{node.index}"
@@ -699,6 +772,15 @@ def quantize(ir: GraphIR, folded: dict, stats: dict,
                     w2q, sw2 = _quant_weight(w2s)
                     q[key]["stem_q"] = {"wbq": wbq, "swb": swb,
                                         "w2q": w2q, "sw2": sw2}
+    if spine:
+        # int8 residual spine: eligible adds emit s8 directly, scaled with
+        # the next conv's calibrated input amax — exactly the scale its
+        # entry-quantize pass uses, so _qconv consumes the codes unchanged
+        for si in spine:
+            amax = stats[f"l{si + 1}"]
+            sx = max(amax, 1e-12) / 127.0
+            q.setdefault(f"l{si}", {})["spine"] = {
+                "inv_sy": np.float32(1.0 / sx), "sy": np.float32(sx)}
     return {"params": q}
 
 
@@ -1033,10 +1115,32 @@ def apply_quantized(ir: GraphIR, qvars: dict, xv, xl=None, *,
                     compute_dtype=jnp.bfloat16, mode: str = "chain"):
     """int8 inference forward -> (decoded (bs, total, no) f32, raw heads).
     ``mode`` must match the ``quantize(mode=...)`` that built qvars
-    ('seed'/'chain'/'all' share one executor; 'edge' has its own)."""
+    ('seed'/'chain'/'all'/'spine'/'spineall' share one executor — the
+    spine plan travels as 'spine' entries on shortcut keys; 'edge' has
+    its own)."""
     if mode == "edge":
         return _apply_edge(ir, qvars, xv, xl, compute_dtype=compute_dtype)
     return _apply_q_chain(ir, qvars, xv, xl, compute_dtype=compute_dtype)
+
+
+class _SpineVal:
+    """An int8 residual-spine activation travelling the executor's running
+    stream: the s8 codes plus their per-tensor dequant scale (mode='spine').
+    A plain container (NOT a pytree node) — it exists only between executor
+    statements inside one trace."""
+
+    __slots__ = ("q", "sy")
+
+    def __init__(self, q, sy):
+        self.q, self.sy = q, sy
+
+
+def _fv(v, dtype):
+    """Full-precision view of a running value: spine s8 dequantizes at read
+    (1 B/elem, the multiply fuses into the consumer); others pass through."""
+    if isinstance(v, _SpineVal):
+        return v.q.astype(dtype) * jnp.asarray(v.sy, dtype)
+    return v
 
 
 def _apply_q_chain(ir: GraphIR, qvars: dict, xv, xl=None, *,
@@ -1060,6 +1164,13 @@ def _apply_q_chain(ir: GraphIR, qvars: dict, xv, xl=None, *,
             pass                     # second half of a fused stem pair
         elif node.kind == "conv":
             inp = x2 if node.takes_second_input else x
+            if isinstance(inp, _SpineVal):
+                # quantized consumers read the s8 codes directly (the spine
+                # scale IS this conv's entry-quantize scale — _plan_spine);
+                # fp consumers dequantize at read inside their own fusion
+                inp = (inp.q if "q" in entry
+                       and node.index not in stem_pairs
+                       else _fv(inp, compute_dtype))
             if (node.index in stem_pairs and "fp" in entry
                     and inp.shape[1] % 2 == 0 and inp.shape[2] % 2 == 0):
                 n2 = ir.nodes[stem_pairs[node.index]]
@@ -1119,11 +1230,21 @@ def _apply_q_chain(ir: GraphIR, qvars: dict, xv, xl=None, *,
         elif node.kind == "upsample":
             x = L.upsample_nearest(x, node.scale)
         elif node.kind == "route":
-            feats = [cache[j] for j in node.inputs]
+            feats = [_fv(cache[j], compute_dtype) for j in node.inputs]
             x = feats[0] if len(feats) == 1 else jnp.concatenate(feats, -1)
         elif node.kind == "shortcut":
             w = entry["fp"]["w"] if node.weighted else None
-            x = L.weighted_fusion(x, [cache[j] for j in node.inputs], w)
+            y = L.weighted_fusion(
+                _fv(x, compute_dtype),
+                [_fv(cache[j], compute_dtype) for j in node.inputs], w)
+            sp = entry.get("spine")
+            if sp is not None:  # int8 residual spine: emit s8 once
+                y8 = jnp.clip(
+                    jnp.round(y * jnp.asarray(sp["inv_sy"], y.dtype)),
+                    -127, 127).astype(jnp.int8)
+                x = _SpineVal(y8, sp["sy"])
+            else:
+                x = y
         elif node.kind == "dropout":
             pass
         elif node.kind == "yolo":

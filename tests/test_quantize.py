@@ -380,3 +380,157 @@ def test_int8_evaluator_empty_plan_downgrades(tmp_path):
                                compute_dtype=jnp.float32)
     np.testing.assert_allclose(got["coco_stats"], want["coco_stats"])
     assert got["ap"] == want["ap"]
+
+
+RESID_CFG = """
+[net]
+width=64
+height=64
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=1
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[shortcut]
+from=-3
+activation=linear
+
+# second block enters with a 3x3 so the FIRST shortcut's next node is a
+# quantizable conv -> both adds are spine-eligible and the second add
+# reads the first's s8 output (the partner-dequant path)
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[shortcut]
+from=-3
+activation=linear
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=0
+filters=18
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask=0,1,2
+anchors=10,13, 16,30, 33,23, 30,61, 62,45, 59,119
+classes=1
+num=6
+"""
+
+
+def _setup_resid(tmp_path):
+    """Single-stream net with a two-block residual spine (plain adds whose
+    next node is a quantizable 3x3) — tiny_dyolov3's only shortcut is
+    weighted, so it can't carry the spine plan."""
+    cfg = tmp_path / "resid.cfg"
+    cfg.write_text(RESID_CFG)
+    ir = compile_cfg(str(cfg), yolo_strides=[8])
+    variables = graph.init(ir, jax.random.PRNGKey(0))
+    folded = graph.fold_batchnorm(ir, variables)
+    rng = np.random.default_rng(0)
+    batches = [(jnp.asarray(rng.random((2, 64, 64, 3), np.float32)), None)
+               for _ in range(2)]
+    return ir, folded, batches
+
+
+def test_spine_plan_and_matches_fp(tmp_path):
+    """mode='spine'/'spineall' (VERDICT r4 item 5): residual adds emit s8
+    once with the next conv's entry scale; consumers read the codes
+    directly (quantized) or dequantize at read (fp / partner adds)."""
+    ir, folded, batches = _setup_resid(tmp_path)
+    stats = Q.calibrate(ir, folded, batches, compute_dtype=jnp.float32)
+    targets, _ = Q.plan_quantization(ir, "chain")
+
+    spine_all = Q._plan_spine(ir, targets, {}, everywhere=True)
+    assert len(spine_all) == 2, spine_all
+    for s in spine_all:
+        n = ir.nodes[s]
+        assert n.kind == "shortcut" and not n.weighted
+        assert ir.nodes[s + 1].index in targets
+
+    xv, _ = batches[0]
+    io_fp, _ = graph.apply_folded(ir, folded, xv,
+                                  compute_dtype=jnp.float32)
+    fp = np.asarray(io_fp, np.float32)
+    for mode in ("spine", "spineall"):
+        qvars = Q.quantize(ir, folded, stats, mode=mode, hw=(64, 64))
+        tagged = [k for k, v in qvars["params"].items() if "spine" in v]
+        if mode == "spineall":
+            assert len(tagged) == len(spine_all)
+        io_q, _ = Q.apply_quantized(ir, qvars, xv,
+                                    compute_dtype=jnp.float32, mode=mode)
+        q = np.asarray(io_q, np.float32)
+        d_conf = np.abs(fp[..., 4] - q[..., 4])
+        assert d_conf.max() < 0.06, (mode, d_conf.max())
+        cos = (fp.ravel() @ q.ravel()) / (
+            np.linalg.norm(fp) * np.linalg.norm(q) + 1e-9)
+        assert cos > 0.99, (mode, cos)
+
+
+def test_spine_first_add_bit_matches_chain_entry_quantize(tmp_path):
+    """The FIRST spine add (bf16 partners) must produce byte-identical s8
+    codes to the entry-quantize pass the consumer conv runs in chain mode —
+    only subsequent adds' partner reads introduce spine-specific noise."""
+    ir, folded, batches = _setup_resid(tmp_path)
+    stats = Q.calibrate(ir, folded, batches, compute_dtype=jnp.float32)
+    targets, _ = Q.plan_quantization(ir, "chain")
+    first = min(Q._plan_spine(ir, targets, {}, everywhere=True))
+    nxt = f"l{first + 1}"
+    qv_spine = Q.quantize(ir, folded, stats, mode="spineall", hw=(64, 64))
+    qv_chain = Q.quantize(ir, folded, stats, mode="chain", hw=(64, 64))
+    sp = qv_spine["params"][f"l{first}"]["spine"]
+    inv_sx = qv_chain["params"][nxt]["q"]["inv_sx"]
+    assert np.float32(sp["inv_sy"]) == np.float32(inv_sx)

@@ -66,7 +66,7 @@ def main(argv=None):
                         "skip the startup quantize compile entirely "
                         "(cli/serve.py --int8-qvars)")
     p.add_argument("--int8-mode", default="chain",
-                   choices=("seed", "chain", "all", "edge"),
+                   choices=("seed", "chain", "all", "edge", "spine", "spineall"),
                    help="PTQ plan baked into --quantized-out")
     opt = p.parse_args(argv)
 

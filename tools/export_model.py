@@ -42,7 +42,7 @@ def main(argv=None):
     p.add_argument("--out", type=str, required=True, help=".dykx path")
     p.add_argument("--int8", action="store_true")
     p.add_argument("--int8-mode", default="chain",
-                   choices=("seed", "chain", "all", "edge"))
+                   choices=("seed", "chain", "all", "edge", "spine", "spineall"))
     p.add_argument("--int8-calib", default="",
                    help="calibration artifact (tools/calibrate.py) — "
                         "required with --int8 unless --int8-qvars exists")

@@ -122,7 +122,8 @@ def main(epochs: int = 60, int8: bool = False, int8_tol: float = 0.05,
     if int8:
         variables = {"params": state.params, "state": state.bn_state}
         for pct in int8_pcts:
-            for mode in ("seed", "chain", "all", "edge"):
+            for mode in ("seed", "chain", "all", "edge", "spine",
+                         "spineall"):
                 res_q = evaluate_dataset(
                     ir, variables, val_ds, batch_size=8, conf_thres=0.01,
                     compute_dtype=jnp.float32, int8=True, int8_mode=mode,

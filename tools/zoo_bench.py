@@ -47,7 +47,7 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="also measure the int8 PTQ chain leg per model")
     ap.add_argument("--int8-mode", default="chain",
-                    choices=("seed", "chain", "all", "edge"))
+                    choices=("seed", "chain", "all", "edge", "spine", "spineall"))
     ap.add_argument("--out", default="/tmp/zoo_bench.jsonl")
     args = ap.parse_args()
 
