@@ -63,14 +63,23 @@ def make_handler(predictor, model_name: str):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length))
-                v = cv2.imdecode(np.frombuffer(
-                    base64.b64decode(req["visible"]), np.uint8),
-                    cv2.IMREAD_COLOR)[:, :, ::-1]
-                l = v
-                if "lwir" in req:
-                    l = cv2.imdecode(np.frombuffer(
-                        base64.b64decode(req["lwir"]), np.uint8),
-                        cv2.IMREAD_COLOR)[:, :, ::-1]
+                if req.get("encoding") == "raw":
+                    # raw uint8 RGB HxWx3 frames ("shape": [H, W]) — for
+                    # upstream services that already hold decoded frames;
+                    # also isolates device throughput from the host's
+                    # single-core JPEG decode in load tests
+                    h, w = req["shape"]
+
+                    def dec(b64):
+                        a = np.frombuffer(base64.b64decode(b64), np.uint8)
+                        return a.reshape(h, w, 3)
+                else:
+                    def dec(b64):
+                        return cv2.imdecode(np.frombuffer(
+                            base64.b64decode(b64), np.uint8),
+                            cv2.IMREAD_COLOR)[:, :, ::-1]
+                v = dec(req["visible"])
+                l = dec(req["lwir"]) if "lwir" in req else v
                 if isinstance(predictor, MicroBatcher):
                     boxes, scores, classes = predictor.submit(v, l)
                 else:

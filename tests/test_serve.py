@@ -106,6 +106,23 @@ def test_detect_endpoint(server):
         assert 0 <= b[0] <= 128 and 0 <= b[1] <= 96
 
 
+def test_detect_raw_encoding(server):
+    """encoding='raw' (decoded uint8 frames) must match the JPEG path's
+    schema; raw frames skip the server-side cv2.imdecode entirely."""
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    body = json.dumps({
+        "visible": base64.b64encode(v.tobytes()).decode(),
+        "lwir": base64.b64encode(v.tobytes()).decode(),
+        "encoding": "raw", "shape": [96, 128]}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server}/detect", data=body,
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        out = json.loads(r.read())
+    assert set(out) == {"boxes", "scores", "classes"}
+
+
 def test_bad_request(server):
     req = urllib.request.Request(
         f"http://127.0.0.1:{server}/detect", data=b"not json",

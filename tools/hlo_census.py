@@ -65,11 +65,25 @@ def shape_bytes(m) -> int:
     return n * DT_BYTES[dt]
 
 
-def census(hlo: str, top: int):
+def census(hlo: str, top: int, hbm_only: bool = True):
+    """``hbm_only``: count only instructions in NON-fusion computations
+    (entry / while bodies / conditionals) — instructions inside a fusion's
+    body computation execute in registers/VMEM and never touch HBM, so
+    counting them (the tool's original behavior, fine for the BN-folded
+    inference program whose fusions are shallow) swamps a training-step
+    census with BN/jvp arithmetic that XLA fused away."""
+    fused_bodies = set(re.findall(r"calls=([%\w.-]+)", hlo))
     by_kind = defaultdict(lambda: [0, 0])
     rows = []
+    in_fused = False
     for line in hlo.splitlines():
         ls = line.strip()
+        hm = re.match(r"(ENTRY )?([%\w.-]+) \(.*\) -> .+ \{$", ls)
+        if hm:
+            in_fused = hm.group(2) in fused_bodies and not hm.group(1)
+            continue
+        if hbm_only and in_fused:
+            continue
         mo = re.match(r"(?:ROOT )?[%\w.-]+ = (.+?) (\w+)\(", ls)
         if not mo:
             continue
@@ -174,6 +188,9 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--dump", default=None,
                     help="also write the optimized HLO text here")
+    ap.add_argument("--all-instructions", action="store_true",
+                    help="count instructions inside fusion bodies too "
+                         "(they never touch HBM; see census docstring)")
     args = ap.parse_args()
 
     lowered = build(args)
@@ -182,7 +199,7 @@ def main():
         with open(args.dump, "w") as f:
             f.write(hlo)
         print(f"# optimized HLO -> {args.dump} ({len(hlo) / 1e6:.1f} MB)")
-    census(hlo, args.top)
+    census(hlo, args.top, hbm_only=not args.all_instructions)
 
 
 if __name__ == "__main__":

@@ -74,6 +74,12 @@ def main():
     ap.add_argument("--img-size", type=int, default=512)
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--microbatch", type=int, default=16)
+    ap.add_argument("--payload", choices=("jpeg", "raw"), default="jpeg",
+                    help="request encoding: 'jpeg' exercises the full "
+                         "production path incl. the server's image decode "
+                         "(single-core hosts bottleneck there); 'raw' "
+                         "sends decoded uint8 frames, isolating the "
+                         "device-side serving throughput")
     args = ap.parse_args()
 
     import cv2
@@ -81,6 +87,12 @@ def main():
     payloads = []
     for _ in range(8):
         v = rng.integers(0, 256, (*args.hw, 3), dtype=np.uint8)
+        if args.payload == "raw":
+            b64 = base64.b64encode(v.tobytes()).decode()
+            payloads.append(json.dumps(
+                {"visible": b64, "lwir": b64, "encoding": "raw",
+                 "shape": list(args.hw)}).encode())
+            continue
         ok, buf = cv2.imencode(".jpg", v)
         assert ok
         b64 = base64.b64encode(buf.tobytes()).decode()
