@@ -17,7 +17,8 @@ import json
 import os
 import sys
 import time
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import BaseHTTPRequestHandler
+from http.server import ThreadingHTTPServer as _ThreadingHTTPServer
 
 import numpy as np
 
@@ -28,6 +29,13 @@ from double_yolo_kaist_tpu.utils.general import enable_compile_cache  # noqa: E4
 enable_compile_cache()
 
 from cli.common import build_model  # noqa: E402
+
+
+class ThreadingHTTPServer(_ThreadingHTTPServer):
+    # stdlib default listen backlog is 5 — a burst of concurrent clients
+    # (load tests, replica warm-up floods) overflows the accept queue and
+    # the kernel resets connections before a handler ever runs
+    request_queue_size = 128
 
 
 def make_handler(predictor, model_name: str):
