@@ -60,7 +60,10 @@ def make_handler(predictor, model_name: str):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, {"status": "ok", "model": model_name})
+                payload = {"status": "ok", "model": model_name}
+                if isinstance(predictor, MicroBatcher):
+                    payload["microbatch"] = predictor.stats
+                self._send(200, payload)
             else:
                 self._send(404, {"error": "not found"})
 

@@ -379,9 +379,21 @@ class MicroBatcher:
         self._arrived = threading.Condition(self._lock)
         self._pending: list = []       # [request dicts], FIFO
         self._stop = False
+        # dispatch statistics (read via .stats for observability/load tests)
+        self._n_batches = 0
+        self._n_frames = 0
+        self._size_hist: dict = {}
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="microbatch-dispatcher")
         self._thread.start()
+
+    @property
+    def stats(self) -> dict:
+        """Coalescing statistics: how well concurrent traffic batches."""
+        n = max(self._n_batches, 1)
+        return {"batches": self._n_batches, "frames": self._n_frames,
+                "mean_batch": round(self._n_frames / n, 2),
+                "size_hist": dict(sorted(self._size_hist.items()))}
 
     def close(self) -> None:
         with self._lock:
@@ -454,6 +466,10 @@ class MicroBatcher:
                 batch = self._take_batch()
             if not batch:
                 continue
+            self._n_batches += 1
+            self._n_frames += len(batch)
+            self._size_hist[len(batch)] = (
+                self._size_hist.get(len(batch), 0) + 1)
             try:
                 res = self.predictor(np.stack([r["v"] for r in batch]),
                                      np.stack([r["l"] for r in batch]))

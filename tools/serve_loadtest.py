@@ -128,8 +128,21 @@ def main():
         # warm every bucket the batcher can hit (compiles are one-time)
         run_level(args.port, payloads, max(args.concurrency),
                   2 * max(args.concurrency))
+        def mb_stats():
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{args.port}/healthz",
+                    timeout=10) as rr:
+                return json.loads(rr.read()).get("microbatch") or {}
+
+        prev = mb_stats()
         for conc in args.concurrency:
             r = run_level(args.port, payloads, conc, args.requests)
+            cur = mb_stats()
+            if cur:
+                db = cur["batches"] - prev.get("batches", 0)
+                df = cur["frames"] - prev.get("frames", 0)
+                r["mean_batch"] = round(df / max(db, 1), 2)
+                prev = cur
             print(json.dumps(r), flush=True)
     finally:
         if proc is not None:
