@@ -54,7 +54,74 @@ def run_level(port: int, payloads: list, conc: int, n_req: int):
     return {"concurrency": conc, "requests": n_req,
             "rps": n_req / wall,
             "p50_ms": float(lat[len(lat) // 2] * 1e3),
-            "p95_ms": float(lat[int(len(lat) * 0.95)] * 1e3)}
+            "p95_ms": float(lat[min(int(len(lat) * 0.95), len(lat) - 1)] * 1e3),
+            "p99_ms": float(lat[min(int(len(lat) * 0.99), len(lat) - 1)] * 1e3)}
+
+
+def run_inproc(args):
+    """Drive MicroBatcher.submit directly from N threads (no HTTP).
+
+    Separates the two halves of the serving story on this 1-core host:
+    the HTTP wire path (JSON + base64 + sockets, shared core with the
+    client) caps rps far below the chip, while this path shows what the
+    batcher + predictor + chip deliver when the wire isn't the limiter.
+    """
+    sys.path.insert(0, REPO)
+    import jax
+    from double_yolo_kaist_tpu.config.ir import compile_cfg
+    from double_yolo_kaist_tpu.models import graph
+    from double_yolo_kaist_tpu.models.zoo import FLAGSHIP, cfg_path
+    from double_yolo_kaist_tpu.serving import MicroBatcher, Predictor
+    from double_yolo_kaist_tpu.utils.general import enable_compile_cache
+
+    enable_compile_cache()
+    model = args.cfg or FLAGSHIP
+    ir = compile_cfg(cfg_path(model) if not os.path.exists(model) else model)
+    variables = jax.jit(lambda k: graph.init(ir, k))(jax.random.PRNGKey(0))
+    kw = {}
+    if args.int8 and os.environ.get("DYK_INT8_QVARS"):
+        kw["quantized"] = os.environ["DYK_INT8_QVARS"]
+    pred = Predictor(ir, variables, img_size=args.img_size,
+                     batch_buckets=(1, 2, 4, 8, 16), int8=args.int8,
+                     calibration_batches=1, **kw)
+    mb = MicroBatcher(pred, max_batch=args.microbatch)
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (*args.hw, 3), dtype=np.uint8)
+              for _ in range(8)]
+
+    def one(i):
+        t0 = time.perf_counter()
+        mb.submit(frames[i % len(frames)], frames[(i + 1) % len(frames)])
+        return time.perf_counter() - t0
+
+    # warm every bucket deterministically (compiles are one-time; int8 also
+    # calibrates) — a free-form concurrent warmup mostly lands on buckets 1
+    # and max, and the first c=4 level then eats a ~30 s mid-bucket compile
+    for b in (1, 2, 4, 8, 16):
+        big = np.stack([frames[i % len(frames)] for i in range(b)])
+        pred(big, big)
+        pred(big, big)
+    prev = mb.stats
+    for conc in args.concurrency:
+        lat = []
+        with concurrent.futures.ThreadPoolExecutor(conc) as ex:
+            t0 = time.perf_counter()
+            for dt in ex.map(one, range(args.requests)):
+                lat.append(dt)
+            wall = time.perf_counter() - t0
+        lat = np.asarray(sorted(lat))
+        cur = mb.stats
+        db = cur["batches"] - prev["batches"]
+        df = cur["frames"] - prev["frames"]
+        prev = cur
+        print(json.dumps(
+            {"concurrency": conc, "requests": args.requests,
+             "fps": args.requests / wall,
+             "p50_ms": float(lat[len(lat) // 2] * 1e3),
+             "p95_ms": float(lat[min(int(len(lat) * .95), len(lat) - 1)] * 1e3),
+             "p99_ms": float(lat[min(int(len(lat) * .99), len(lat) - 1)] * 1e3),
+             "mean_batch": round(df / max(db, 1), 2)}), flush=True)
+    mb.close()
 
 
 def main():
@@ -80,7 +147,16 @@ def main():
                          "(single-core hosts bottleneck there); 'raw' "
                          "sends decoded uint8 frames, isolating the "
                          "device-side serving throughput")
+    ap.add_argument("--inproc", action="store_true",
+                    help="skip HTTP entirely: build Predictor+MicroBatcher "
+                         "in-process and fire N threads submitting ndarray "
+                         "frames — measures the serving stack + chip with "
+                         "the wire (JSON/base64/socket, all single-core "
+                         "here) removed")
     args = ap.parse_args()
+
+    if args.inproc:
+        return run_inproc(args)
 
     import cv2
     rng = np.random.default_rng(0)
