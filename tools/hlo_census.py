@@ -153,6 +153,22 @@ def build(args):
         return jax.jit(aug_k).lower(pool, pool, xs, key)
 
     ir = compile_cfg(cfg_path(args.model or FLAGSHIP))
+    if args.program == "infer":
+        from double_yolo_kaist_tpu.models import graph as G
+
+        folded = jax.eval_shape(
+            lambda k: G.fold_batchnorm(ir, G.init(ir, k)),
+            jax.random.PRNGKey(0))
+        folded = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, jnp.bfloat16), folded)
+        x = jax.ShapeDtypeStruct((B,) + SRC + (3,), jnp.bfloat16)
+
+        def infer(params, xv, xl):
+            io, _ = G.apply_folded(ir, params, xv, xl,
+                                   compute_dtype=jnp.bfloat16)
+            return io
+
+        return jax.jit(infer).lower(folded, x, x)
     sched = cosine_epoch_schedule(HYP["lr0"], HYP["lrf"], 50, 100,
                                   warmup=False)
     tx = make_optimizer(HYP, sched, sgd=True)
@@ -176,7 +192,7 @@ def build(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--program", choices=["aug", "fused", "step"],
+    ap.add_argument("--program", choices=["aug", "fused", "step", "infer"],
                     default="aug")
     ap.add_argument("--model", default=None)
     ap.add_argument("--batch", type=int, default=8)
