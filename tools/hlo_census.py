@@ -65,6 +65,15 @@ def shape_bytes(m) -> int:
     return n * DT_BYTES[dt]
 
 
+def shape_bytes_logical(m) -> int:
+    """Logical (unpadded) bytes of one parsed shape."""
+    dt = m.group("dt")
+    if dt not in DT_BYTES:
+        return 0
+    dims = [int(x) for x in m.group("dims").split(",") if x] or [1]
+    return int(np.prod(dims)) * DT_BYTES[dt]
+
+
 def census(hlo: str, top: int, hbm_only: bool = True):
     """``hbm_only``: count only instructions in NON-fusion computations
     (entry / while bodies / conditionals) — instructions inside a fusion's
@@ -95,6 +104,8 @@ def census(hlo: str, top: int, hbm_only: bool = True):
                     for m in SHAPE_RE.finditer(shapes_str))
         if total == 0:
             continue
+        logical = sum(shape_bytes_logical(m)
+                      for m in SHAPE_RE.finditer(shapes_str))
         kind = op
         if op == "fusion":
             km = re.search(r"kind=(\w+)", ls)
@@ -103,13 +114,21 @@ def census(hlo: str, top: int, hbm_only: bool = True):
         by_kind[kind][0] += total
         by_kind[kind][1] += 1
         rows.append((total, kind, shapes_str[:110],
-                     ls[ls.find(op):][:170]))
+                     ls[ls.find(op):][:170], logical))
 
     print(f"{'bytes out':>14}  {'n':>4}  kind")
     for kind, (b, n) in sorted(by_kind.items(), key=lambda kv: -kv[1][0]):
         print(f"{b / 1e6:>12.1f}MB  {n:>4}  {kind}")
+    phys = sum(r[0] for r in rows)
+    logi = sum(r[4] for r in rows)
+    padded = sum(r[0] for r in rows if r[0] > 1.5 * max(r[4], 1))
+    padded_logi = sum(r[4] for r in rows if r[0] > 1.5 * max(r[4], 1))
+    print(f"\npad-waste: {phys / 1e9:.2f} GB physical writes vs "
+          f"{logi / 1e9:.2f} GB logical ({phys / max(logi, 1):.2f}x); "
+          f"{padded / 1e9:.2f} GB sit in tensors padded >1.5x "
+          f"({padded_logi / 1e9:.2f} GB logical)")
     print(f"\n--- top {top} single outputs (physical bytes incl. tile pad)")
-    for total, kind, shape, txt in sorted(rows, key=lambda r: -r[0])[:top]:
+    for total, kind, shape, txt, _ in sorted(rows, key=lambda r: -r[0])[:top]:
         print(f"{total / 1e6:>10.1f}MB  {kind:24s} {shape}")
         print(f"{'':14}{txt}")
 
