@@ -384,6 +384,14 @@ def select_image_pool(dataset, src_hw, device_cache):
     if pool is not None:
         return "hbm", pool
     if device_cache is not False:
+        cached = getattr(dataset, "_host_pool", None)
+        if cached is not None:
+            # this dataset's bytes are ALREADY inside _HOST_RESIDENT; the
+            # budget check below would double-count them and demote a
+            # pinned dataset to streaming as soon as any other pool (e.g.
+            # the in-train eval split) pins after it — observed as a 3.5x
+            # epoch-time regression from epoch 1 on a full-KAIST fit
+            return "host", cached
         n = len(dataset)
         need = 2 * n * src_hw[0] * src_hw[1] * 3
         hbudget = float(os.environ.get("DYK_HOST_CACHE_GB", "16")) * 1e9

@@ -291,6 +291,34 @@ def test_resident_budget_released_on_gc(mini_kaist):
     assert PL._RESIDENT["bytes"] == before
 
 
+def test_host_pool_tier_sticky_once_pinned(mini_kaist, monkeypatch):
+    """A dataset whose pairs are already pinned in the host pool must keep
+    the host tier on re-selection even when the SHARED budget has since been
+    consumed by other pools (e.g. the in-train eval split pinning after
+    epoch 0): its own bytes are already inside _HOST_RESIDENT, so re-running
+    the `need + resident <= budget` gate double-counts them and silently
+    demotes training to per-batch streaming — observed as a 3.5x epoch-time
+    regression on a full-KAIST fit (15.7 GB train pool + 4.1 GB val pool
+    vs DYK_HOST_CACHE_GB=24)."""
+    from double_yolo_kaist_tpu.data import pipeline as PL
+
+    ds = KaistDataset(mini_kaist, img_size=64, batch_size=4, rect=True)
+    h, w = (int(x) for x in ds.shapes[0][::-1])
+    monkeypatch.setenv("DYK_DEVICE_CACHE_GB", "0")  # force past the HBM tier
+    sentinel = ("pv", "pl", lambda pool, idx: None)
+    ds._host_pool = sentinel                        # as host_image_pool caches
+    nbytes = 2 * len(ds) * h * w * 3
+    PL._claim_resident(PL._HOST_RESIDENT, ds, nbytes)
+    # another dataset's pool has since filled the shared budget
+    monkeypatch.setenv("DYK_HOST_CACHE_GB",
+                       str(PL._HOST_RESIDENT["bytes"] / 1e9))
+    tier, pool = PL.select_image_pool(ds, (h, w), None)
+    assert tier == "host" and pool is sentinel
+    # an UNpinned dataset over the exhausted budget still streams
+    ds2 = KaistDataset(mini_kaist, img_size=64, batch_size=4, rect=True)
+    assert PL.select_image_pool(ds2, (h, w), None) == (None, None)
+
+
 def test_eval_batches_letterbox(mini_kaist):
     ds = KaistDataset(mini_kaist, img_size=64, batch_size=4, rect=True)
     out = list(eval_batches(ds, 4))
