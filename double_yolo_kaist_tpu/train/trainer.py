@@ -387,6 +387,10 @@ class Trainer:
 
             if coco[0] > self.best_map:
                 self.best_map = float(coco[0])
+            # "last" every epoch (reference train.py:214-233 saves last.pt
+            # alongside best.pt) so resume/extend never depends on the best
+            # epoch having been the final one
+            self.save(os.path.join(self.out_dir, "last"), epoch)
             if save_best:
                 if self.best_map == float(coco[0]):
                     self.save(os.path.join(self.out_dir, "best"), epoch)

@@ -96,6 +96,10 @@ def main():
                         "the VERDICT-r4 item-7 configuration")
     ap.add_argument("--val-images", type=int, default=2106,
                     help="--fit validation split size (KAIST val = 2106)")
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint dir to Trainer.load() before --fit "
+                         "('auto' = <root>/runs/exp/last, falling back to "
+                         "best) — extends a finished run toward --epochs")
     args = ap.parse_args()
 
     split = make_dataset(args.root, args.images)
@@ -117,6 +121,16 @@ def main():
                  out_dir=os.path.join(args.root, "runs"))
 
     if args.fit:
+        if args.resume:
+            path = args.resume
+            if path == "auto":
+                base = os.path.join(args.root, "runs", "exp")
+                path = os.path.join(base, "last")
+                if not os.path.isdir(path):
+                    path = os.path.join(base, "best")
+            tr.load(path)
+            print(f"[wallclock] resumed {path}: start_epoch="
+                  f"{tr.start_epoch} best_map={tr.best_map:.4f}", flush=True)
         t0 = time.perf_counter()
         best = tr.fit(save_best=True)
         total = time.perf_counter() - t0
